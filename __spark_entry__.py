@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the crawl engine's frontier-admission plan
+                (canonicalize-shaped URL synth → F1/F3 filters → U1 dedup →
+                W1 salted politeness admission) over the sf0.001 documents
+                table as the URL universe.
+queries()     — one entry per implemented operator (SURVEY.md §2 + the
+                training-data op family); backed by axora_spark.queries.
+oracle_sql()  — exactly-matching DuckDB SQL per query.
 """
 
 from __future__ import annotations
@@ -16,23 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from axora_spark.queries import q_politeness_rank
+    return q_politeness_rank(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from axora_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from axora_spark.queries import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,166 @@
+"""Snapshot-versioned parquet table store with Iceberg-like semantics.
+
+The design targets real Iceberg (SURVEY.md §1.1 D1/D2, §4.3): bucket-
+partitioned frontier/seen tables, snapshot ids for lineage + resume,
+append/overwrite/merge-into. The sandbox image has no Iceberg jars, so this
+module implements the same contract over parquet with JSON manifests:
+
+  warehouse/<table>/
+    data/s<id>/part-*.parquet   one directory per snapshot's NEW files
+    _meta.json                  {"current", "snapshots": [...], "schema"}
+
+- append    = write only the new rows; child manifest = parent ∪ new dir
+  (O(new data), like an Iceberg fast-append).
+- overwrite = new manifest with only the new dir.
+- merge_insert_if_absent = anti-join new vs current on key, then append
+  (replicates the reference sink's get-before-upsert idempotency,
+  pkg/qdrantdb/crawl_vector.go:47-56, as `MERGE ... WHEN NOT MATCHED`).
+- read(snapshot_id=...) = time travel; the lineage table records the
+  snapshot id per wave so a restart resumes from the last complete wave.
+
+If a real Iceberg catalog is on the classpath, the same call sites can be
+swapped to `spark.table`/`MERGE INTO` — the contract is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------- metadata ----------
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_meta.json")
+
+    def _load_meta(self, name: str) -> dict:
+        p = self._meta_path(name)
+        if not os.path.exists(p):
+            return {"current": None, "snapshots": [], "schema": None}
+        with open(p) as f:
+            return json.load(f)
+
+    def _store_meta(self, name: str, meta: dict) -> None:
+        d = self._table_dir(name)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"_meta.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path(name))  # atomic commit
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.exists(self._meta_path(name))
+
+    def create_table(self, name: str, schema: T.StructType) -> None:
+        """CREATE TABLE IF NOT EXISTS (reference S5 analog)."""
+        if not self.table_exists(name):
+            self._store_meta(name, {"current": None, "snapshots": [],
+                                    "schema": schema.json()})
+
+    def schema_of(self, name: str) -> T.StructType:
+        meta = self._load_meta(name)
+        if meta["schema"] is None:
+            raise ValueError(f"table {name} has no schema yet")
+        return T.StructType.fromJson(json.loads(meta["schema"]))
+
+    def current_snapshot(self, name: str) -> int | None:
+        return self._load_meta(name)["current"]
+
+    def snapshots(self, name: str) -> list[dict]:
+        return self._load_meta(name)["snapshots"]
+
+    # ---------- reads ----------
+    def _dirs_for(self, meta: dict, snapshot_id: int | None) -> list[str]:
+        sid = meta["current"] if snapshot_id is None else snapshot_id
+        if sid is None:
+            return []
+        for s in meta["snapshots"]:
+            if s["id"] == sid:
+                return s["dirs"]
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+
+    def read(self, spark: SparkSession, name: str,
+             snapshot_id: int | None = None) -> DataFrame:
+        """Current table state, or time travel to `snapshot_id`."""
+        meta = self._load_meta(name)
+        dirs = self._dirs_for(meta, snapshot_id)
+        if not dirs:
+            if meta["schema"] is None:
+                raise ValueError(f"table {name} is empty and schema-less")
+            return spark.createDataFrame([], self.schema_of(name))
+        return spark.read.schema(self.schema_of(name)).parquet(*dirs)
+
+    # ---------- writes ----------
+    def _commit(self, name: str, df: DataFrame, parent_dirs: list[str],
+                op: str, n_rows: int, n_partitions: int,
+                new_dir: str | None) -> int:
+        meta = self._load_meta(name)
+        sid = (meta["snapshots"][-1]["id"] + 1) if meta["snapshots"] else 1
+        dirs = list(parent_dirs) + ([new_dir] if new_dir else [])
+        meta["snapshots"].append({
+            "id": sid, "parent": meta["current"], "op": op, "dirs": dirs,
+            "n_rows": n_rows, "n_partitions": n_partitions, "ts": time.time(),
+        })
+        meta["current"] = sid
+        if meta["schema"] is None:
+            meta["schema"] = df.schema.json()
+        self._store_meta(name, meta)
+        return sid
+
+    def _write_data(self, name: str, df: DataFrame) -> tuple[str, int, int]:
+        sid_dir = os.path.join(self._table_dir(name), "data",
+                               f"s{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(sid_dir)
+        # cheap row count from parquet footers (no second job over the plan)
+        n = df.sparkSession.read.parquet(sid_dir).count()
+        n_parts = sum(1 for f in os.listdir(sid_dir) if f.startswith("part-"))
+        return sid_dir, n, n_parts
+
+    def append(self, spark: SparkSession, name: str, df: DataFrame) -> int:
+        """Fast-append: writes only the new rows."""
+        meta = self._load_meta(name)
+        parent_dirs = self._dirs_for(meta, None)
+        new_dir, n, n_parts = self._write_data(name, df)
+        return self._commit(name, df, parent_dirs, "append", n, n_parts, new_dir)
+
+    def overwrite(self, spark: SparkSession, name: str, df: DataFrame) -> int:
+        new_dir, n, n_parts = self._write_data(name, df)
+        return self._commit(name, df, [], "overwrite", n, n_parts, new_dir)
+
+    def merge_insert_if_absent(self, spark: SparkSession, name: str,
+                               df: DataFrame, key: str) -> int:
+        """MERGE INTO t USING df ON t.key = df.key WHEN NOT MATCHED INSERT *.
+
+        Duplicate keys *within* df are also collapsed (first wins by key
+        hash order) so the sink stays a keyed set — matches the reference
+        sink where point id is derived from the content hash
+        (pkg/qdrantdb/crawl_vector.go:42-45)."""
+        existing = self.read(spark, name).select(key)
+        fresh = (df.dropDuplicates([key])
+                   .join(existing, on=key, how="left_anti"))
+        return self.append(spark, name, fresh)
+
+    def rollback(self, name: str, snapshot_id: int) -> None:
+        meta = self._load_meta(name)
+        if all(s["id"] != snapshot_id for s in meta["snapshots"]):
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        meta["current"] = snapshot_id
+        self._store_meta(name, meta)
+
+    def drop(self, name: str) -> None:
+        import shutil
+        if os.path.exists(self._table_dir(name)):
+            shutil.rmtree(self._table_dir(name))

@@ -1,0 +1,77 @@
+"""Crawl-session configuration.
+
+Mirrors the reference's env/YAML config surface (reference:
+config/config.go:11-79, domains.yaml:1-7, crawler/crawler.go:60-96) as a
+plain dataclass consumed by the wave-loop driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# colly URLFilters (reference: crawler/crawler.go:68-75). Any-match passes.
+DEFAULT_URL_FILTERS: tuple[str, ...] = (
+    r"^https://.*$",
+    r"^https://libgen\.li/index\.php\?req=[^&]+$",
+    r"^https://libgen\.li/edition\.php\?id=[^&]+$",
+    r"^https://libgen\.li/ads\.php\?md5=[^&]+$",
+    r"^https://libgen\.li/get\.php\?md5=[^&]+&key=[^&]+$",
+    r"^https://[^.]+\.booksdl\.lc/get\.php\?md5=[^&]+(?:&key=[^&]+)?$",
+)
+
+# The reference's skip-pattern (reference: crawler/dom_handler.go:40-41)
+# embeds a literal newline between `register|` and `subscribe`, so the
+# compiled alternation contains "\nsubscribe" — which can never match a URL
+# path. Faithful mode reproduces the *compiled* behavior: "subscribe" alone
+# does NOT trigger a skip. Case-insensitive substring match on the
+# normalized path (lowercased, `_` and `.` → `-`).
+SKIP_WORDS: tuple[str, ...] = (
+    "contact", "privacy", "terms", "faq", "tag", "archive", "about",
+    "signin", "login", "register", "\nsubscribe", "feedback", "cookies",
+    "sitemap", "help", "introduction", "portal", "events", "community",
+    "search", "changes", "contribution",
+)
+SKIP_PATTERN: str = "(" + "|".join(SKIP_WORDS) + ")"
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Deterministic closure of the reference crawl session parameters.
+
+    The reference's time-based politeness (LimitRule{Parallelism:3, Delay:5s,
+    RandomDelay:3s}, crawler/crawler.go:87-92) becomes a per-wave *count*
+    budget: ``host_budget = parallelism * wave_seconds / delay_s`` URLs
+    admitted per host per wave (SURVEY.md §7.3 item 2). RandomDelay is a
+    nondeterminism source, deliberately excluded from the closure.
+    """
+
+    seeds: tuple[str, ...]
+    allowed_domains: tuple[str, ...]
+    max_depth: int = 2              # crawler/crawler.go:63 (seeds + one hop)
+    per_host_parallelism: int = 3   # crawler/crawler.go:89
+    per_host_delay_s: float = 5.0   # crawler/crawler.go:90
+    wave_seconds: float = 60.0      # deterministic budget window (ours)
+    url_filters: tuple[str, ...] = DEFAULT_URL_FILTERS
+    robots_mode: bool = False       # reference ignores robots (crawler.go:96);
+                                    # target mode turns this on (north_rule)
+    topic: str = "economy"          # rest.http:5
+    chunk_method: str = "md"        # "md" | "sen" (chunking.go:52-58)
+    min_tokens: int = 75            # chunking.go:44,139
+    max_tokens: int = 480           # docker-compose.yml:20
+    quality_threshold: float = 67.0  # text_extraction.go:171
+    embedding_dim: int = 768        # qdrantdb/crawl_vector.go:28
+    max_waves: int = 16             # safety cap on the wave loop
+    seen_bloom_fpp: float = 0.01
+    hot_host_salt: int = 8          # salt shards for skewed hosts (W1)
+
+    @property
+    def host_budget(self) -> int:
+        """URLs admitted per host per wave (deterministic politeness)."""
+        return max(1, int(self.per_host_parallelism * self.wave_seconds / self.per_host_delay_s))
+
+
+DEFAULT_CONFIG = CrawlConfig(
+    seeds=(),
+    allowed_domains=(),
+)

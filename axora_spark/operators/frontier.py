@@ -1,0 +1,91 @@
+"""Frontier set operators: within-wave dedup (U1), URL-seen anti-join (J1)
+with sharded-Bloom pre-filter (SURVEY.md §2.3, §2.6, §4.3).
+
+Reference semantics: colly's storage consults `IsVisited(requestID)` before
+fetching and marks it after scheduling (crawler/boltdb.go:58-83); new links
+from all pages of a wave fan into one queue (dom_handler.go:17-29). The
+rebuild expresses both as set algebra on `url_hash` (xxhash64 of the
+canonical URL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axora_spark.operators.bloom import Bloom
+
+
+def dedup_within_wave(candidates: DataFrame) -> DataFrame:
+    """U1 — collapse duplicate discoveries of the same canonical URL within
+    a wave, deterministically: keep min(depth), max(priority),
+    min(discovered_wave). (dropDuplicates picks an arbitrary row; a groupBy
+    is both deterministic and map-side-combinable.)"""
+    return (candidates
+            .groupBy("url", "url_hash", "host")
+            .agg(F.min("depth").alias("depth"),
+                 F.max("priority").alias("priority"),
+                 F.min("discovered_wave").alias("discovered_wave"))
+            .withColumn("status", F.lit("pending")))
+
+
+def build_seen_blooms(seen: DataFrame, n_shards: int, fpp: float = 0.01
+                      ) -> dict[int, bytes]:
+    """Per-shard Blooms from the `seen` table, one task per shard.
+
+    Shard key = pmod(url_hash, n_shards) — aligned with the frontier bucket
+    key so the pre-filter stays embarrassingly parallel. Each group returns
+    one (shard, bloom_bytes) row; only the serialized filters (not the
+    keys) reach the driver."""
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["url_hash"].to_numpy()
+        b = Bloom.sized(len(keys), fpp)
+        b.add_many(keys)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "bloom": [b.to_bytes()]})
+
+    rows = (seen
+            .select("url_hash",
+                    F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard"))
+            .groupBy("shard")
+            .applyInPandas(_build, schema="shard int, bloom binary")
+            .collect())
+    return {r["shard"]: bytes(r["bloom"]) for r in rows}
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame,
+                   blooms: dict[int, bytes] | None = None,
+                   n_shards: int = 8) -> DataFrame:
+    """J1 — drop candidates whose canonical-URL hash is already seen.
+
+    With `blooms`, a broadcast sharded-Bloom pre-pass cheaply splits the
+    wave into definitely-unseen (bypass the join) and maybe-seen (exact
+    left-anti join confirms). Without, it is a plain left-anti join (Spark's
+    runtime bloom-filter join injection still applies)."""
+    if not blooms:
+        return candidates.join(seen.select("url_hash"),
+                               on="url_hash", how="left_anti")
+
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(blooms)
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(url_hash: pd.Series) -> pd.Series:
+        shards = bc.value
+        keys = url_hash.to_numpy()
+        out = pd.Series(False, index=url_hash.index)
+        shard_ids = (keys % n_shards + n_shards) % n_shards  # pmod
+        for sid in pd.unique(shard_ids):
+            raw = shards.get(int(sid))
+            if raw is None:
+                continue
+            mask = shard_ids == sid
+            out[mask] = Bloom.from_bytes(raw).contains_many(keys[mask])
+        return out
+
+    tagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_hash")))
+    fresh = tagged.filter(~F.col("_maybe")).drop("_maybe")
+    suspect = (tagged.filter(F.col("_maybe")).drop("_maybe")
+               .join(seen.select("url_hash"), on="url_hash", how="left_anti"))
+    return fresh.unionByName(suspect)

@@ -1,0 +1,83 @@
+"""W1 — per-host politeness scheduler as a salted, window-ranked priority
+queue (SURVEY.md §2.5 W1, §4.3 item 2).
+
+Reference semantics (crawler/crawler.go:87-92): colly LimitRule
+{DomainGlob:"*", Parallelism:3, Delay:5s, RandomDelay:0-3s} — per host,
+≤3 concurrent fetches and ≥5s between request starts. Time-based pacing is
+nondeterministic; the deterministic closure is a per-wave COUNT budget:
+
+    host_budget = parallelism * wave_seconds / delay_s
+
+URLs over budget are DEFERRED: they stay in the frontier with unchanged
+priority and compete again next wave.
+
+Scale design: a naive `row_number() OVER (PARTITION BY host ...)` puts one
+mega-host in one task (the whitelist in domains.yaml:2 contains wikipedia).
+We run two-phase top-k instead:
+
+  phase 1: rank within (host, salt) — salt = pmod(url_hash, S) — and keep
+           rank ≤ budget per shard. A host's data now spreads over S tasks
+           and at most S*budget rows per host survive.
+  phase 2: rank the survivors within host (tiny: ≤ S*budget rows/host) and
+           keep rank ≤ budget.
+
+Phase 2's global per-host rank equals the single-window rank because the
+per-shard cut can never evict a row that the global cut would keep (any row
+in the global top-budget of a host is in the top-budget of its shard).
+Deterministic order: priority DESC, url ASC (W4 tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols():
+    """Deterministic per-host order: priority DESC, url ASC (W4 tie-break).
+    (Built lazily — Column construction needs an active SparkContext.)"""
+    return [F.col("priority").desc(), F.col("url").asc()]
+
+
+def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
+          budget_overrides: dict[str, int] | None = None
+          ) -> tuple[DataFrame, DataFrame]:
+    """Split a wave's candidate frontier into (admitted, deferred).
+
+    admitted carries `rank` (1-based, per host, deterministic);
+    deferred is the remainder, untouched.
+
+    budget_overrides: per-host budget (robots crawl-delay, target mode) —
+    a tiny map, broadcast-joined; absent hosts use `host_budget`.
+    """
+    if budget_overrides:
+        spark = frontier.sparkSession
+        bdf = spark.createDataFrame(
+            [(h, int(b)) for h, b in budget_overrides.items()],
+            "host string, _budget int")
+        frontier = (frontier.join(F.broadcast(bdf), on="host", how="left")
+                    .withColumn("_budget",
+                                F.coalesce(F.col("_budget"),
+                                           F.lit(host_budget))))
+    else:
+        frontier = frontier.withColumn("_budget", F.lit(host_budget))
+
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int"))
+
+    w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
+    survivors = (salted
+                 .withColumn("_srn", F.row_number().over(w1))
+                 .filter(F.col("_srn") <= F.col("_budget"))
+                 .drop("_srn"))
+
+    w2 = Window.partitionBy("host").orderBy(*_order_cols())
+    ranked = survivors.withColumn("rank", F.row_number().over(w2)).drop("_salt")
+
+    admitted = ranked.filter(F.col("rank") <= F.col("_budget")).drop("_budget")
+    frontier = frontier.drop("_budget")
+    # Deferred = everything not admitted. Anti-join on url_hash (unique per
+    # wave after frontier dedup) keeps this a co-partitioned hash join.
+    deferred = frontier.join(
+        admitted.select("url_hash"), on="url_hash", how="left_anti")
+    return admitted, deferred

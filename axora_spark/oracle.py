@@ -1,0 +1,154 @@
+"""Deterministic pure-Python re-simulation of the reference crawl rules —
+the correctness oracle (SURVEY.md §5.2 item 2).
+
+The Go reference's wall-clock behavior is nondeterministic (async workers
+×3 + RandomDelay, crawler/crawler.go:64,89-91). Its deterministic closure —
+what both this oracle and the Spark engine compute — is:
+
+  wave-by-wave BFS; per wave: canonicalize (X2) → filters F1 ∧ F2 ∧ F3 →
+  within-wave dedup (U1: min depth, max priority) → seen anti-join (J1) →
+  per-host admission of the top `host_budget` by (priority DESC, url ASC)
+  (W1/W4); admitted URLs are marked seen and fetched; their out-links are
+  absolutized (X1) and become wave-(w+1) candidates if depth+1 ≤ max_depth
+  (W2); deferred URLs carry over unchanged.
+
+Every ambiguity resolved here is documented in SEMANTICS.md. The Spark
+engine (axora_spark.plans.crawl) MUST match this simulation exactly on
+(a) the admitted-URL sequence (wave, host, rank, url, depth) and (b) final
+seen-set membership.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from axora_spark.config import CrawlConfig, SKIP_WORDS
+from axora_spark.functions import urlnorm
+
+import re
+
+_SKIP_RE = re.compile("(" + "|".join(re.escape(w) for w in SKIP_WORDS) + ")",
+                      re.IGNORECASE)
+
+
+def passes_filters(canon_url: str, cfg: CrawlConfig) -> bool:
+    """F1 ∧ F2 ∧ F3 on the canonical URL."""
+    if not canon_url:
+        return False
+    if not urlnorm.matches_any(list(cfg.url_filters), canon_url):
+        return False  # F1
+    host = urlnorm.host_of(canon_url)
+    if cfg.allowed_domains and host not in {d.lower() for d in cfg.allowed_domains}:
+        return False  # F2
+    if _SKIP_RE.search(urlnorm.skip_norm_path(canon_url)):
+        return False  # F3
+    return True
+
+
+@dataclass
+class OracleResult:
+    admitted: list[tuple[int, str, int, str, int]]  # (wave,host,rank,url,depth)
+    seen: set[str]                                   # canonical URLs
+    waves_run: int = 0
+    per_wave_metrics: list[dict] = field(default_factory=list)
+
+
+def simulate(pages: list[dict], cfg: CrawlConfig,
+             robots_txt: dict[str, str] | None = None) -> OracleResult:
+    """`pages`: link_graph rows (url, host, out_links, ...).
+    robots_txt: host → robots body; consulted only when cfg.robots_mode
+    (same closure as the engine: disallowed candidates are dropped, never
+    seen; crawl-delay overrides the host's budget)."""
+    robots_rules: dict = {}
+    budget_override: dict[str, int] = {}
+    if cfg.robots_mode and robots_txt:
+        from axora_spark.operators import robots as robots_op
+        robots_rules = {h: robots_op.parse_robots(t)
+                        for h, t in robots_txt.items()}
+        for h, r in robots_rules.items():
+            if r.crawl_delay:
+                budget_override[h] = robots_op.host_budget_with_robots(
+                    cfg.host_budget, cfg.wave_seconds,
+                    cfg.per_host_parallelism, r.crawl_delay)
+
+    page_by_url = {urlnorm.canonicalize(p["url"]): p for p in pages}
+
+    # frontier: canon_url -> (depth, priority, discovered_wave)
+    frontier: dict[str, tuple[int, float, int]] = {}
+    for s in cfg.seeds:
+        c = urlnorm.canonicalize(s)
+        if c and passes_filters(c, cfg):
+            prev = frontier.get(c)
+            if prev is None:
+                frontier[c] = (1, 0.0, 0)
+            else:
+                frontier[c] = (min(prev[0], 1), max(prev[1], 0.0),
+                               min(prev[2], 0))
+
+    seen: set[str] = set()
+    admitted_log: list[tuple[int, str, int, str, int]] = []
+    metrics: list[dict] = []
+    wave = 0
+    while frontier and wave < cfg.max_waves:
+        # J1 — seen anti-join
+        candidates = {u: v for u, v in frontier.items() if u not in seen}
+        # robots gate (target mode): disallowed candidates drop permanently
+        if robots_rules:
+            from axora_spark.operators.robots import is_allowed
+            candidates = {
+                u: v for u, v in candidates.items()
+                if is_allowed(robots_rules.get(urlnorm.host_of(u)),
+                              urlnorm.path_of(u))}
+        # W1 — per-host admission
+        by_host: dict[str, list[str]] = {}
+        for u in candidates:
+            by_host.setdefault(urlnorm.host_of(u), []).append(u)
+        admitted: list[tuple[str, str, int]] = []  # (host, url, rank)
+        deferred: dict[str, tuple[int, float, int]] = {}
+        for host, urls in by_host.items():
+            budget = budget_override.get(host, cfg.host_budget)
+            urls.sort(key=lambda u: (-candidates[u][1], u))  # priority DESC, url ASC
+            for rank, u in enumerate(urls, start=1):
+                if rank <= budget:
+                    admitted.append((host, u, rank))
+                else:
+                    deferred[u] = candidates[u]
+        for host, u, rank in admitted:
+            admitted_log.append((wave, host, rank, u, candidates[u][0]))
+            seen.add(u)
+
+        # S3 fetch + X3/X1 link extraction → wave w+1 candidates
+        next_frontier: dict[str, tuple[int, float, int]] = dict(deferred)
+        n_links = 0
+        for host, u, _rank in admitted:
+            page = page_by_url.get(u)
+            if page is None:
+                continue  # fetch error — OnError just logs (crawler.go)
+            depth = candidates[u][0]
+            child_depth = depth + 1
+            if child_depth > cfg.max_depth:  # W2 — colly MaxDepth
+                continue
+            for href in page["out_links"] or []:
+                absu = urlnorm.absolutize(u, href)
+                c = urlnorm.canonicalize(absu)
+                if not c or not passes_filters(c, cfg):
+                    continue
+                n_links += 1
+                prev = next_frontier.get(c)
+                if prev is None:
+                    next_frontier[c] = (child_depth, 0.0, wave + 1)
+                else:  # U1 dedup: min depth, max priority, min wave
+                    next_frontier[c] = (min(prev[0], child_depth),
+                                        max(prev[1], 0.0),
+                                        min(prev[2], wave + 1))
+        metrics.append({
+            "wave": wave, "candidates": len(candidates),
+            "admitted": len(admitted), "deferred": len(deferred),
+            "links_discovered": n_links,
+        })
+        frontier = {u: v for u, v in next_frontier.items() if u not in seen}
+        wave += 1
+
+    admitted_log.sort(key=lambda t: (t[0], t[1], t[2]))
+    return OracleResult(admitted=admitted_log, seen=seen, waves_run=wave,
+                        per_wave_metrics=metrics)

@@ -1,0 +1,114 @@
+"""Branch B — the per-page content pipeline (SURVEY.md §3.3):
+
+    fetched(w) → F5/F6 meta-relevance gate → X5 spans → F7 quality gate
+      → documents (merge on doc_id)
+      → C1–C4 chunk + token gate → chunks
+      → C5 embed → S4 vectors (merge on content_hash, insert-if-absent)
+
+Stage order preserves the reference's hand-tuned short-circuits
+(SURVEY.md §4.1): the meta gate runs before span extraction, and the
+native quality gate runs before the (Python) chunker — Catalyst cannot
+reorder through opaque pandas UDFs, so the ordering is explicit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from axora_spark import schemas
+from axora_spark.catalog import SnapshotCatalog
+from axora_spark.config import CrawlConfig
+from axora_spark.functions.quality import quality_gate
+from axora_spark.functions.textproc import is_meta_relevant
+from axora_spark.operators.chunking import (chunk_gate, chunks_udf,
+                                            token_count_col)
+from axora_spark.operators.embed import with_embeddings
+from axora_spark.operators.spans import spans_to_text, spans_udf
+
+
+def meta_relevant_udf(topic: str):
+    """F5/F6 — vectorized page gate (dom_handler.go:179-199)."""
+    @F.pandas_udf(T.BooleanType())
+    def _udf(title: pd.Series, metas: pd.Series) -> pd.Series:
+        return pd.Series(
+            [is_meta_relevant(t or "", m, topic)
+             for t, m in zip(title, metas)],
+            index=title.index)
+    return _udf
+
+
+def documents_from_fetched(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """fetched rows → DOCUMENTS rows (meta gate → spans → quality gate).
+
+    Cheap native pre-filter first (the reference's own optimization,
+    dom_handler.go:149-151): pages whose title+meta blob lacks topic[:3]
+    can't be relevant — expressed natively so it prunes before the UDF."""
+    pages = fetched.filter(F.col("http_status") == 200)
+    if len(cfg.topic) >= 3:
+        blob = F.lower(F.concat_ws(
+            " ", F.col("title"),
+            F.array_join(F.transform(
+                F.col("metas"),
+                lambda m: F.concat_ws("", m["name"], m["property"],
+                                      m["content"])), " ")))
+        pages = pages.filter(blob.contains(cfg.topic[:3].lower()))
+    pages = pages.filter(meta_relevant_udf(cfg.topic)(
+        F.col("title"), F.col("metas")))
+
+    docs = (pages
+            .withColumn("spans", spans_udf()(F.col("body_md"), F.col("url")))
+            .withColumn("_text", spans_to_text(F.col("spans")))
+            .filter(quality_gate(F.col("_text"), cfg.quality_threshold))
+            .select(F.sha2(F.col("url"), 256).alias("doc_id"),
+                    "url", "spans", "_text"))
+    return docs
+
+
+def chunks_from_documents(docs: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """C1–C4 over the documents' concatenated text spans."""
+    text_col = F.col("_text") if "_text" in docs.columns \
+        else spans_to_text(F.col("spans"))
+    exploded = (docs
+                .withColumn("_chunks", chunks_udf(cfg.chunk_method)(text_col))
+                .select("doc_id", "url",
+                        F.posexplode("_chunks").alias("chunk_index", "text"))
+                .withColumn("text", F.trim(F.col("text")))
+                .filter(F.col("text") != ""))
+    return (exploded
+            .withColumn("token_count", token_count_col(F.col("text")))
+            .filter(chunk_gate(F.col("token_count"),
+                               cfg.min_tokens, cfg.max_tokens)))
+
+
+def vectors_from_chunks(chunks: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """C5 + X8 — embed and key by content hash."""
+    return (with_embeddings(chunks.select("doc_id", "url", "text"),
+                            dim=cfg.embedding_dim)
+            .withColumn("content_hash", F.sha2(F.col("text"), 256))
+            .select("content_hash", "doc_id", "url", "text", "embedding"))
+
+
+def make_content_sink(cfg: CrawlConfig):
+    """content_sink callable for plans.crawl.run_crawl."""
+    def sink(spark: SparkSession, catalog: SnapshotCatalog,
+             fetched: DataFrame, wave: int) -> None:
+        catalog.create_table("documents", schemas.DOCUMENTS)
+        catalog.create_table("chunks", schemas.CHUNKS)
+        catalog.create_table("vectors", schemas.VECTORS)
+
+        docs = documents_from_fetched(fetched, cfg).persist()
+        catalog.merge_insert_if_absent(
+            spark, "documents", docs.select("doc_id", "url", "spans"),
+            key="doc_id")
+        chunks = chunks_from_documents(docs, cfg)
+        catalog.append(spark, "chunks",
+                       chunks.select("doc_id", "chunk_index", "text",
+                                     "token_count"))
+        vectors = vectors_from_chunks(chunks, cfg)
+        catalog.merge_insert_if_absent(spark, "vectors", vectors,
+                                       key="content_hash")
+        docs.unpersist()
+    return sink

@@ -1,0 +1,787 @@
+"""Driver-contract query library (__spark_entry__.py backend).
+
+Each entry pairs a PySpark callable `(spark, sf_dir) -> DataFrame` with an
+ANSI-SQL oracle string for DuckDB over the same parquet tables. Column
+names and value semantics are aligned exactly (the driver hash-compares
+values after sorting columns by name).
+
+The queries exercise the engine's own operators (SURVEY.md §2) on the
+driver tables, plus the large-scale training-data-pipeline operator family
+(dedup: exact/minhash/simhash/jaccard; similarity search; text analysis) —
+each one is the same code path the crawl engine uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from axora_spark.operators.embed import cosine_similarity
+from axora_spark.functions.quality import (distinct_word_count, quality_score,
+                                           sentence_count, word_count)
+from axora_spark.operators.chunking import token_count_col
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _words_col(text: Column) -> Column:
+    """Whitespace words, empties dropped — MUST match the DuckDB idiom
+    list_filter(string_split_regex(trim(text),'\\s+'), w -> w <> '')."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+_WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+
+# --------------------------------------------------------------------------
+# Crawl-engine operators on driver tables
+# --------------------------------------------------------------------------
+
+# F1–F3 — frontier filters over synthesized URLs (documents table).
+# URL path construction is shared verbatim between both sides.
+
+def q_frontier_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    path = (F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("/about_us/"), F.col("doc_id")))
+             .when(F.col("doc_id") % 5 == 1,
+                   F.concat(F.lit("/tag/"), F.col("doc_id")))
+             .when(F.col("doc_id") % 5 == 2,
+                   F.concat(F.lit("/subscribe/"), F.col("doc_id")))
+             .when(F.col("doc_id") % 5 == 3,
+                   F.concat(F.lit("/Page.php/"), F.col("doc_id")))
+             .otherwise(F.concat(F.lit("/post/"), F.col("doc_id"))))
+    scheme = F.when(F.col("doc_id") % 7 == 0, F.lit("http://")) \
+              .otherwise(F.lit("https://"))
+    df = docs.select(
+        F.col("doc_id"),
+        F.concat(scheme, F.col("source"), F.lit(".example.org"), path)
+         .alias("url"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"))
+    # real engine predicates: F1 https allowlist + F3 skip-path
+    from axora_spark.operators.filters import (low_value_skip_filter,
+                                               url_allow_filter)
+    kept = df.filter(url_allow_filter(F.col("url"), (r"^https://.*$",))
+                     & low_value_skip_filter(F.col("url")))
+    return kept.select("doc_id", "url", "host")
+
+
+SQL_FRONTIER_FILTERS = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END)
+         || source || '.example.org' ||
+         (CASE WHEN doc_id % 5 = 0 THEN '/about_us/' || doc_id
+               WHEN doc_id % 5 = 1 THEN '/tag/' || doc_id
+               WHEN doc_id % 5 = 2 THEN '/subscribe/' || doc_id
+               WHEN doc_id % 5 = 3 THEN '/Page.php/' || doc_id
+               ELSE '/post/' || doc_id END) AS url,
+         source || '.example.org' AS host,
+         (CASE WHEN doc_id % 5 = 0 THEN '/about_us/' || doc_id
+               WHEN doc_id % 5 = 1 THEN '/tag/' || doc_id
+               WHEN doc_id % 5 = 2 THEN '/subscribe/' || doc_id
+               WHEN doc_id % 5 = 3 THEN '/Page.php/' || doc_id
+               ELSE '/post/' || doc_id END) AS path
+  FROM documents)
+SELECT doc_id, url, host FROM u
+WHERE regexp_matches(url, '^https://.*$')
+  AND NOT regexp_matches(
+        replace(replace(lower(path), '_', '-'), '.', '-'),
+        '(contact|privacy|terms|faq|tag|archive|about|signin|login|register|\nsubscribe|feedback|cookies|sitemap|help|introduction|portal|events|community|search|changes|contribution)')
+"""
+
+
+# W1 — politeness admission over documents-as-frontier.
+
+def q_politeness_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from axora_spark.operators import politeness
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.col("source").alias("host"),
+        F.lit(1).alias("depth"),
+        F.col("n_chars").cast("double").alias("priority"),
+        F.lit(0).alias("discovered_wave"),
+        F.lit("pending").alias("status"),
+    ).withColumn("url_hash", F.xxhash64(F.col("url")))
+    admitted, _deferred = politeness.admit(frontier, host_budget=5, salt=4)
+    return admitted.select("host", "rank", "url",
+                           F.col("priority").alias("n_chars"))
+
+
+SQL_POLITENESS_RANK = """
+WITH f AS (
+  SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+         source AS host, CAST(n_chars AS DOUBLE) AS n_chars
+  FROM documents),
+r AS (
+  SELECT host, url, n_chars,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, url ASC) AS rank
+  FROM f)
+SELECT host, rank, url, n_chars FROM r WHERE rank <= 5
+"""
+
+
+# J1 — URL-seen anti-join shape (lineitem anti orders).
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+              .groupBy("l_returnflag")
+              .agg(F.count("*").alias("n_items"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+SQL_SEEN_ANTIJOIN = """
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey AND o_totalprice > 150000)
+GROUP BY l_returnflag
+"""
+
+
+# U1 — within-wave dedup (deterministic groupBy collapse) on events.
+
+def q_wave_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", "event_type")
+              .agg(F.min("ts").alias("first_ts"),
+                   F.max("value").alias("max_value"),
+                   F.count("*").alias("n_dups")))
+
+
+SQL_WAVE_DEDUP = """
+SELECT user_id, event_type, min(ts) AS first_ts,
+       max(value) AS max_value, count(*) AS n_dups
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup family (training-data pipeline)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha256(text), keep min doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("content_hash", F.sha2(F.col("text"), 256))
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+N_MINHASH = 8
+
+
+def _shingles_col(text: Column) -> Column:
+    """Word 3-gram shingles; < 3 words → empty array. 0-based Spark array
+    subscript w[i] aligns with DuckDB's 1-based l[i+1]."""
+    w = _words_col(text)
+    return F.when(
+        F.size(w) >= 3,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 3),
+                    lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
+                                          F.element_at(w, i + 2),
+                                          F.element_at(w, i + 3)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = f"""
+CASE WHEN len({_WORDS_SQL}) >= 3 THEN
+  list_transform(range(0, len({_WORDS_SQL}) - 2),
+    i -> {_WORDS_SQL}[i+1] || ' ' || {_WORDS_SQL}[i+2] || ' ' || {_WORDS_SQL}[i+3])
+ELSE [] END
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash: sig[i] = min over shingles of sha256(shingle||'#'||i);
+    exploded to (doc_id, perm, minhash) rows. min over hex strings is a
+    valid uniform minhash (lexicographic order on fixed-width hex)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles_col(F.col("text")).alias("sh")) \
+             .filter(F.size("sh") > 0)
+    sig = sh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("sh"),
+                            lambda s: F.sha2(F.concat(s, F.lit("#"),
+                                                      i.cast("string")), 256)))
+        ).alias("sig"))
+    return sig.select("doc_id",
+                      F.posexplode("sig").alias("perm", "minhash"))
+
+
+SQL_MINHASH_SIGNATURE = f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {N_MINHASH}),
+           i -> list_min(list_transform(sh,
+                  x -> sha256(x || '#' || i::varchar)))) AS sig
+  FROM s WHERE len(sh) > 0
+)
+SELECT doc_id, u.i - 1 AS perm, sig[u.i] AS minhash
+FROM sig, (SELECT unnest(range(1, {N_MINHASH} + 1)) AS i) u
+"""
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 4 bands × 2 rows; pair (a<b) is a candidate if any band
+    signature matches. Scale path: band bucket-join, not pairwise."""
+    sig = q_minhash_signature(spark, sf_dir) \
+        .withColumn("band", (F.col("perm") / 2).cast("int"))
+    bands = (sig.groupBy("doc_id", "band")
+                .agg(F.concat_ws("|", F.array_sort(
+                    F.collect_list("minhash"))).alias("band_key")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+SQL_MINHASH_NEAR_DUP = f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {N_MINHASH}),
+           i -> list_min(list_transform(sh,
+                  x -> sha256(x || '#' || i::varchar)))) AS sig
+  FROM s WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, u.b AS band,
+         list_aggregate(list_sort([sig[2*u.b + 1], sig[2*u.b + 2]]),
+                        'string_agg', '|') AS band_key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b) u
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit): per word w, h = first 4 hex chars of sha256(w);
+    bit b of the fingerprint is 1 iff Σ_words (bit_b(h) ? 1 : -1) > 0.
+    Native on both engines via hex-nibble arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    w = _words_col(F.col("text"))
+    hashes = F.transform(w, lambda x: F.conv(
+        F.substring(F.sha2(x, 256), 1, 4), 16, 10).cast("int"))
+
+    def contrib_for(mask: int):
+        # bind the bit mask via closure: F.aggregate's merge lambda must be
+        # exactly binary (a default arg changes its arity for pyspark)
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1)))
+
+    bits = [F.when(contrib_for(1 << b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(16)]
+    fingerprint = bits[0]
+    for bb in bits[1:]:
+        fingerprint = fingerprint + bb
+    return docs.select("doc_id", fingerprint.alias("simhash16"))
+
+
+def _simhash_sql() -> str:
+    hashes = (f"list_transform({_WORDS_SQL}, "
+              "x -> ('0x' || substr(sha256(x), 1, 4))::int)")
+    terms = []
+    for b in range(16):
+        contrib = (f"list_sum(list_transform({hashes}, "
+                   f"h -> CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END))")
+        terms.append(f"(CASE WHEN coalesce({contrib}, 0) > 0 "
+                     f"THEN {1 << b} ELSE 0 END)")
+    return ("SELECT doc_id, (" + " + ".join(terms)
+            + ") AS simhash16 FROM documents")
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: within-language blocking (scale path:
+    block → pair → verify), word-set Jaccard ≥ 0.8."""
+    docs = _t(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", "lang",
+        F.array_distinct(_words_col(F.col("text"))).alias("ws"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    jac = inter.cast("double") / union
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.round(jac, 6).alias("jaccard"))
+             .filter(F.col("jaccard") >= 0.8))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH s AS (
+  SELECT doc_id, lang, list_distinct({_WORDS_SQL}) AS ws FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(list_distinct(a.ws || b.ws)), 6) AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / len(list_distinct(a.ws || b.ws)), 6) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 query vector (X9; baseline
+    ANN). Exact arithmetic in double; ordered output re-ranked determinin-
+    istically by (score desc, vec_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0) \
+            .select(F.col("embedding").alias("qe"))
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    scored = (emb.filter(F.col("vec_id") != 0)
+              .crossJoin(F.broadcast(qv))
+              .select("vec_id",
+                      F.round(cosine_similarity(
+                          dbl(F.col("embedding")), dbl(F.col("qe"))), 6)
+                       .alias("cos_sim")))
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10).drop("rnk"))
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(
+           list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN scale path: bucket = 4 sign bits of dims 0..3;
+    per-bucket population + mean norm (the IVF-style partition statistic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = sum(
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i))
+         .otherwise(F.lit(0))
+        for i in range(4))
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    return (emb.select(bucket.alias("bucket"), norm.alias("norm"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.round(F.avg("norm"), 6).alias("avg_norm")))
+
+
+SQL_ANN_LSH_BUCKETS = """
+SELECT
+  ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+   + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+   + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+   + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)) AS bucket,
+  count(*) AS n_vecs,
+  round(avg(sqrt(list_sum(list_transform(embedding,
+        x -> x::DOUBLE * x::DOUBLE)))), 6) AS avg_norm
+FROM embeddings GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (quality, tokens, language, fingerprint)
+# --------------------------------------------------------------------------
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 + A1–A3 on the documents table — the engine's own native exprs."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        word_count(t).alias("wc"),
+        distinct_word_count(t).alias("dwc"),
+        sentence_count(t).alias("sc"),
+        F.round(quality_score(t), 6).alias("score"),
+        (quality_score(t) >= 67.0).alias("passes"))
+
+
+SQL_QUALITY_SCORES = f"""
+WITH m AS (
+  SELECT doc_id,
+    len({_WORDS_SQL}) AS wc,
+    len(list_distinct(list_filter(
+      list_transform({_WORDS_SQL},
+        w -> regexp_replace(regexp_replace(lower(w),
+               '^[.,!?"''():;\\[\\]{{}}]+', ''),
+               '[.,!?"''():;\\[\\]{{}}]+$', '')),
+      w -> w <> ''))) AS dwc,
+    greatest(len(string_split_regex(text, '[.!?]+')), 1) AS sc
+  FROM documents),
+s AS (
+  SELECT doc_id, wc, dwc, sc,
+    (CASE WHEN wc < 200 THEN 0.0 WHEN wc > 10000 THEN 0.7 ELSE 1.0 END)
+      AS length_s,
+    (CASE WHEN CAST(dwc AS DOUBLE) / (CASE WHEN wc = 0 THEN 1 ELSE wc END)
+            < 0.25 THEN 0.0
+          WHEN CAST(dwc AS DOUBLE) / (CASE WHEN wc = 0 THEN 1 ELSE wc END)
+            > 0.6 THEN 0.8 ELSE 1.0 END) AS rich_s,
+    (CASE WHEN sc < 5 THEN 0.0
+          WHEN CAST(wc AS DOUBLE)/sc < 10 OR CAST(wc AS DOUBLE)/sc > 30
+            THEN 0.7 ELSE 1.0 END) AS sent_s
+  FROM m)
+SELECT doc_id, wc, dwc, sc,
+       round(CAST((0.50*length_s + 0.30*rich_s + 0.20*sent_s) * 100.0
+                  AS DOUBLE), 6) AS score,
+       ((0.50*length_s + 0.30*rich_s + 0.20*sent_s) * 100.0) >= 67.0 AS passes
+FROM s
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 + C4 gate on documents."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = token_count_col(F.col("text"))
+    return docs.select("doc_id", tc.alias("token_count"),
+                       ((tc >= 75) & (tc <= 480)).alias("in_window"))
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  coalesce(list_sum(list_transform({_WORDS_SQL},
+    w -> CAST(ceil(length(w)/4.0) AS INT))), 0) AS token_count,
+  coalesce(list_sum(list_transform({_WORDS_SQL},
+    w -> CAST(ceil(length(w)/4.0) AS INT))), 0) BETWEEN 75 AND 480
+    AS in_window
+FROM documents
+"""
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token hit counts per language; predict
+    argmax with deterministic tie-break (lexicographic lang), 'und' if all
+    zero. (The driver corpus is synthetic so hits are sparse — the operator
+    contract is what's tested.)"""
+    docs = _t(spark, sf_dir, "documents")
+    w = _words_col(F.lower(F.col("text")))
+    score_cols = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        s = F.size(F.filter(w, lambda x: x.isin(*markers)))
+        score_cols.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*score_cols))
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+         .alias("predicted_lang"))
+
+
+def _lang_id_sql() -> str:
+    w = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "w -> w <> '')")
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        scores.append(
+            f"len(list_filter({w}, x -> x IN ({inlist}))) AS s_{lang}")
+    struct_list = ", ".join(
+        f"{{'score': s_{lang}, 'lang': '{lang}'}}"
+        for lang in sorted(_LANG_MARKERS))
+    return f"""
+WITH m AS (SELECT doc_id, lang, {', '.join(scores)} FROM documents),
+b AS (SELECT doc_id, lang,
+             list_max([{struct_list}]) AS best
+      FROM m)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END
+         AS predicted_lang
+FROM b
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min sha256 over word-3-gram shingles (a
+    1-permutation minhash — rolling-hash analog, SURVEY extension)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.when(F.size(sh) > 0,
+               F.array_min(F.transform(sh, lambda s: F.sha2(s, 256))))
+         .otherwise(F.sha2(F.col("text"), 256)).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH s AS (SELECT doc_id, text, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT doc_id,
+       CASE WHEN len(sh) > 0
+            THEN list_min(list_transform(sh, x -> sha256(x)))
+            ELSE sha256(text) END AS fingerprint
+FROM s
+"""
+
+
+def q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — content hash (vector-sink merge key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
+
+
+SQL_SHA256 = "SELECT doc_id, sha256(text) AS content_hash FROM documents"
+
+
+# --------------------------------------------------------------------------
+# Interleaved span model on driver tables
+# --------------------------------------------------------------------------
+
+def q_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — build a markdown doc per row (heading + body + image), run the
+    real spans operator, explode to rows. The DuckDB oracle states the
+    expected span algebra directly."""
+    from axora_spark.operators.spans import spans_udf
+    docs = _t(spark, sf_dir, "documents")
+    md = F.concat(F.lit("# Doc "), F.col("doc_id"), F.lit("\n\n"),
+                  F.col("text"), F.lit("\n\n![img](https://cdn.example.org/"),
+                  F.col("doc_id"), F.lit(".png)"))
+    spans = docs.select("doc_id", spans_udf()(md, F.lit("")).alias("spans"))
+    s = spans.select("doc_id", F.explode("spans").alias("s"))
+    return s.select("doc_id", F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("span_text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").alias("offset"))
+
+
+SQL_INTERLEAVED_SPANS = """
+SELECT doc_id, 'text' AS kind, '# Doc ' || doc_id AS span_text,
+       '' AS media_ref, 0 AS offset FROM documents
+UNION ALL
+SELECT doc_id, 'text', trim(text), '', 1 FROM documents
+  WHERE trim(text) <> ''
+UNION ALL
+SELECT doc_id, 'media', '',
+       'https://cdn.example.org/' || doc_id || '.png', 2 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Classic analytics (window / agg / join coverage)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (the W1 window pattern)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (part.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("p_brand", "rnk", "p_partkey", "p_retailprice"))
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part) WHERE rnk <= 3
+"""
+
+
+def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim star join: revenue per region (J2 shape at scale)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window aggregation (streaming semantics, batch-
+    checked; the Structured-Streaming variant shares this exact groupBy)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    return (ev.groupBy(bucket.alias("window_start"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT CAST(floor(epoch(ts)/300) * 300 AS BIGINT) AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (ev.withColumn("session_id", sess)
+            .groupBy("user_id")
+            .agg(F.max("session_id").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS gap
+  FROM events),
+s AS (
+  SELECT user_id,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM g)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "frontier_filters": q_frontier_filters,
+    "politeness_rank": q_politeness_rank,
+    "seen_antijoin": q_seen_antijoin,
+    "wave_dedup": q_wave_dedup,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signature": q_minhash_signature,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "sha256_hash": q_sha256,
+    "interleaved_spans": q_interleaved_spans,
+    "tpch_q1": q_tpch_q1,
+    "topk_per_group": q_topk_per_group,
+    "broadcast_join_agg": q_broadcast_join_agg,
+    "events_tumbling": q_events_tumbling,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "frontier_filters": SQL_FRONTIER_FILTERS,
+    "politeness_rank": SQL_POLITENESS_RANK,
+    "seen_antijoin": SQL_SEEN_ANTIJOIN,
+    "wave_dedup": SQL_WAVE_DEDUP,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signature": SQL_MINHASH_SIGNATURE,
+    "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "sha256_hash": SQL_SHA256,
+    "interleaved_spans": SQL_INTERLEAVED_SPANS,
+    "tpch_q1": SQL_TPCH_Q1,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "sessionize": SQL_SESSIONIZE,
+}

@@ -1,0 +1,107 @@
+"""All table schemas (SURVEY.md §1). One place, imported everywhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# D1 — URL frontier (Iceberg-like `frontier` table; bucket key = url_hash)
+FRONTIER = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("host", T.StringType(), True),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("priority", T.DoubleType(), False),
+    T.StructField("discovered_wave", T.IntegerType(), False),
+    T.StructField("status", T.StringType(), False),  # pending/admitted/deferred/fetched
+])
+
+# D2 — URL-seen set (reference: BoltDB bucket, crawler/boltdb.go:58-83)
+SEEN = T.StructType([
+    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("wave", T.IntegerType(), False),
+])
+
+# Admission log: the deterministic crawl order (W4)
+ADMITTED = T.StructType([
+    T.StructField("wave", T.IntegerType(), False),
+    T.StructField("host", T.StringType(), True),
+    T.StructField("rank", T.IntegerType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("depth", T.IntegerType(), False),
+])
+
+# D4 — fetched page (synthetic fixture corpus in this sandbox)
+FETCHED = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("host", T.StringType(), True),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("wave", T.IntegerType(), False),
+    T.StructField("http_status", T.IntegerType(), False),
+    T.StructField("body_md", T.StringType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("metas", T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType(), True),
+        T.StructField("property", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ])), True),
+    T.StructField("out_links", T.ArrayType(T.StringType()), True),
+])
+
+# D5 — interleaved text+media span documents (authoritative input_hint shape)
+SPAN = T.StructType([
+    T.StructField("kind", T.StringType(), False),       # 'text' | 'media'
+    T.StructField("text", T.StringType(), False),       # '' for media spans
+    T.StructField("media_ref", T.StringType(), False),  # '' for text spans
+    T.StructField("offset", T.IntegerType(), False),    # 0-based span order
+])
+DOCUMENTS = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("spans", T.ArrayType(SPAN), False),
+])
+
+# D6 — chunks
+CHUNKS = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("chunk_index", T.IntegerType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("token_count", T.IntegerType(), False),
+])
+
+# D7 — vector sink (MERGE key = content_hash; qdrantdb/crawl_vector.go:42-45)
+VECTORS = T.StructType([
+    T.StructField("content_hash", T.StringType(), False),
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+])
+
+# Lineage (north_rule: per-partition lineage + metrics, resumable)
+LINEAGE = T.StructType([
+    T.StructField("wave", T.IntegerType(), False),
+    T.StructField("table", T.StringType(), False),
+    T.StructField("snapshot_id", T.LongType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("n_partitions", T.IntegerType(), False),
+])
+
+METRICS = T.StructType([
+    T.StructField("wave", T.IntegerType(), False),
+    T.StructField("host", T.StringType(), True),
+    T.StructField("candidates", T.LongType(), False),
+    T.StructField("admitted", T.LongType(), False),
+    T.StructField("deferred", T.LongType(), False),
+    T.StructField("deduped", T.LongType(), False),
+])
+
+# Synthetic link graph fixture (FIXTURES.md §3)
+LINK_GRAPH = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("host", T.StringType(), False),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("metas", FETCHED["metas"].dataType, True),
+    T.StructField("body_md", T.StringType(), True),
+    T.StructField("out_links", T.ArrayType(T.StringType()), True),
+])

@@ -1,0 +1,43 @@
+"""M4 — checkpoint/resume: kill after wave k, resume, final state identical
+(SURVEY.md §5.2 item 5; north_rule 'resumable from checkpoint')."""
+
+from __future__ import annotations
+
+import pytest
+
+from axora_spark import datagen, oracle, schemas
+from axora_spark.plans import crawl
+
+
+@pytest.fixture(scope="module")
+def fixture_pages():
+    return datagen.link_graph_rows(n_pages=120, seed=42)
+
+
+@pytest.fixture(scope="module")
+def cfg(fixture_pages):
+    return datagen.fixture_config(fixture_pages)
+
+
+def test_resume_identical(spark, catalog, cfg, fixture_pages):
+    corpus = spark.createDataFrame(fixture_pages, schemas.LINK_GRAPH)
+    want = oracle.simulate(fixture_pages, cfg)
+
+    # "crash" after wave 1 (two waves run: 0 and 1)
+    run1 = crawl.run_crawl(spark, catalog, cfg, corpus, stop_after_wave=1)
+    assert run1.waves_run == 2
+    n_admitted_partial = catalog.read(spark, "admitted").count()
+    assert 0 < n_admitted_partial < len(want.admitted)
+
+    # resume from the checkpoint; must complete to the same final state
+    run2 = crawl.run_crawl(spark, catalog, cfg, corpus, resume=True)
+    got = [(r.wave, r.host, r.rank, r.url, r.depth)
+           for r in catalog.read(spark, "admitted")
+           .orderBy("wave", "host", "rank").collect()]
+    assert got == want.admitted
+    seen = {r.url for r in catalog.read(spark, "seen").collect()}
+    assert seen == want.seen
+
+    # lineage recorded one frontier snapshot per wave
+    lineage = catalog.read(spark, "lineage").filter("table = 'frontier'")
+    assert lineage.count() == want.waves_run
