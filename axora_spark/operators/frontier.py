@@ -20,11 +20,24 @@ from axora_spark.operators.bloom import Bloom
 def dedup_within_wave(candidates: DataFrame) -> DataFrame:
     """U1 — collapse duplicate discoveries of the same canonical URL within
     a wave, deterministically: keep min(depth), max(priority),
-    min(discovered_wave). (dropDuplicates picks an arbitrary row; a groupBy
-    is both deterministic and map-side-combinable.)"""
+    min(discovered_wave). (dropDuplicates picks an arbitrary row; this
+    aggregation is deterministic and map-side-combinable.)
+
+    Keyed by `url_hash` ALONE so the output is hash-partitioned exactly the
+    way the J1 anti-join wants it — Spark reuses the exchange and the wave
+    does one shuffle instead of two (SURVEY.md §4.3 item 1: frontier
+    bucketing by url_hash). url/host ride along via min() — they are
+    functionally determined by the hash (same canonical URL), so min is a
+    deterministic identity pick; a 64-bit collision would merge two URLs,
+    which the exact-url tie-break in W4 ordering makes observable in tests
+    long before it matters at 10^10 (p ≈ 10^-? — and the reference's own
+    64-bit request-id dedup, crawler/boltdb.go:58-67, accepts the same
+    collision class)."""
     return (candidates
-            .groupBy("url", "url_hash", "host")
-            .agg(F.min("depth").alias("depth"),
+            .groupBy("url_hash")
+            .agg(F.min("url").alias("url"),
+                 F.min("host").alias("host"),
+                 F.min("depth").alias("depth"),
                  F.max("priority").alias("priority"),
                  F.min("discovered_wave").alias("discovered_wave"))
             .withColumn("status", F.lit("pending")))
@@ -62,9 +75,15 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
     With `blooms`, a broadcast sharded-Bloom pre-pass cheaply splits the
     wave into definitely-unseen (bypass the join) and maybe-seen (exact
     left-anti join confirms). Without, it is a plain left-anti join (Spark's
-    runtime bloom-filter join injection still applies)."""
+    runtime bloom-filter join injection still applies).
+
+    The seen side is hinted SHUFFLE_HASH: at 10^10 keys a broadcast is
+    impossible, and even at sandbox sizes the driver-serial broadcast build
+    caps N→4N scaling (measured: it dominated the wave). Shuffling both
+    sides by url_hash is the co-partitioned plan the Iceberg bucketing is
+    designed for (SURVEY.md §4.3 item 1)."""
     if not blooms:
-        return candidates.join(seen.select("url_hash"),
+        return candidates.join(seen.select("url_hash").hint("shuffle_hash"),
                                on="url_hash", how="left_anti")
 
     spark = candidates.sparkSession
@@ -87,5 +106,6 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
     tagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_hash")))
     fresh = tagged.filter(~F.col("_maybe")).drop("_maybe")
     suspect = (tagged.filter(F.col("_maybe")).drop("_maybe")
-               .join(seen.select("url_hash"), on="url_hash", how="left_anti"))
+               .join(seen.select("url_hash").hint("shuffle_hash"),
+                     on="url_hash", how="left_anti"))
     return fresh.unionByName(suspect)

@@ -190,22 +190,36 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
 
         # branch A — next frontier
         new_links = links_from_fetched(fetched, cfg, wave)
-        nxt = dedup_within_wave(
-            new_links.unionByName(deferred.select(*new_links.columns)))
+        union = (new_links
+                 .unionByName(deferred.select(*new_links.columns))
+                 .persist())
+        nxt = dedup_within_wave(union)
         nxt = anti_join_seen(nxt, catalog.read(spark, "seen"), None)
         sid_frontier = catalog.overwrite(spark, "frontier", nxt)
 
-        # A5 — metrics (per wave × host)
+        # A5 — metrics (per wave × host); deduped = rows removed from the
+        # discovered∪deferred union by U1 collapse + the seen anti-join
+        pre_by_host = union.groupBy("host").agg(
+            F.count("*").alias("_pre"))
+        post_by_host = (catalog.read(spark, "frontier").groupBy("host")
+                        .agg(F.count("*").alias("_post")))
+        dedup_by_host = (pre_by_host.join(post_by_host, "host", "left")
+                         .na.fill(0, ["_post"])
+                         .select("host",
+                                 (F.col("_pre") - F.col("_post"))
+                                 .alias("deduped")))
+        union.unpersist()
         cand_by_host = candidates.groupBy("host").agg(
             F.count("*").alias("candidates"))
         adm_by_host = admitted.groupBy("host").agg(
             F.count("*").alias("admitted"))
         met = (cand_by_host.join(adm_by_host, "host", "left")
-               .na.fill(0, ["admitted"])
+               .join(dedup_by_host, "host", "left")
+               .na.fill(0, ["admitted", "deduped"])
                .select(F.lit(wave).alias("wave"), "host", "candidates",
                        "admitted",
                        (F.col("candidates") - F.col("admitted")).alias("deferred"),
-                       F.lit(0).cast("long").alias("deduped")))
+                       F.col("deduped").cast("long")))
         sid_met = catalog.append(spark, "metrics", met)
 
         frontier_meta = catalog.snapshots("frontier")[-1]

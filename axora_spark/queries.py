@@ -22,8 +22,19 @@ from axora_spark.functions.quality import (distinct_word_count, quality_score,
 from axora_spark.operators.chunking import token_count_col
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread: bool = False) -> DataFrame:
+    """Read a driver table. spread=True repartitions to the session's
+    parallelism — the sandbox tables are single-row-group files (one scan
+    task), which would serialize CPU-heavy per-row expressions (hashing,
+    shingling) onto one core. At production scale scans have thousands of
+    splits and the repartition is a no-op-sized shuffle either way."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        n = spread if isinstance(spread, int) and spread is not True \
+            else spark.sparkContext.defaultParallelism
+        df = df.repartition(n)
+    return df
 
 
 def _words_col(text: Column) -> Column:
@@ -188,16 +199,21 @@ N_MINHASH = 8
 
 
 def _shingles_col(text: Column) -> Column:
-    """Word 3-gram shingles; < 3 words → empty array. 0-based Spark array
-    subscript w[i] aligns with DuckDB's 1-based l[i+1]."""
+    """Word 3-gram shingles; < 3 words → empty array.
+
+    Formulated as zip_with over three slices (NOT element_at inside a
+    transform lambda): lambda bodies that reference an outer *expression*
+    make Catalyst re-evaluate that expression per array element — with the
+    words-split inlined that was O(n_shingles) regex splits per row. All
+    array expressions here sit in argument position → evaluated once per
+    row."""
     w = _words_col(text)
-    return F.when(
-        F.size(w) >= 3,
-        F.transform(F.sequence(F.lit(0), F.size(w) - 3),
-                    lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
-                                          F.element_at(w, i + 2),
-                                          F.element_at(w, i + 3)))
-    ).otherwise(F.array().cast("array<string>"))
+    n = F.greatest(F.size(w) - 2, F.lit(0))
+    s1 = F.slice(w, F.lit(1), n)
+    s2 = F.slice(w, F.lit(2), n)
+    s3 = F.slice(w, F.lit(3), n)
+    pair = F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.zip_with(pair, s3, lambda ab, c: F.concat(ab, F.lit(" "), c))
 
 
 _SHINGLES_SQL = f"""
@@ -212,7 +228,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash: sig[i] = min over shingles of sha256(shingle||'#'||i);
     exploded to (doc_id, perm, minhash) rows. min over hex strings is a
     valid uniform minhash (lexicographic order on fixed-width hex)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     sh = docs.select("doc_id", _shingles_col(F.col("text")).alias("sh")) \
              .filter(F.size("sh") > 0)
     sig = sh.select(
@@ -290,7 +306,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit): per word w, h = first 4 hex chars of sha256(w);
     bit b of the fingerprint is 1 iff Σ_words (bit_b(h) ? 1 : -1) > 0.
     Native on both engines via hex-nibble arithmetic."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     w = _words_col(F.col("text"))
     hashes = F.transform(w, lambda x: F.conv(
         F.substring(F.sha2(x, 256), 1, 4), 16, 10).cast("int"))
@@ -330,7 +346,7 @@ SQL_SIMHASH = _simhash_sql()
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: within-language blocking (scale path:
     block → pair → verify), word-set Jaccard ≥ 0.8."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     sets = docs.select(
         "doc_id", "lang",
         F.array_distinct(_words_col(F.col("text"))).alias("ws"))
@@ -366,7 +382,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 query vector (X9; baseline
     ANN). Exact arithmetic in double; ordered output re-ranked determinin-
     istically by (score desc, vec_id)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     qv = emb.filter(F.col("vec_id") == 0) \
             .select(F.col("embedding").alias("qe"))
     dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
@@ -433,7 +449,7 @@ FROM embeddings GROUP BY 1
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 + A1–A3 on the documents table — the engine's own native exprs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -478,7 +494,7 @@ FROM s
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 + C4 gate on documents."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     tc = token_count_col(F.col("text"))
     return docs.select("doc_id", tc.alias("token_count"),
                        ((tc >= 75) & (tc <= 480)).alias("in_window"))
@@ -509,7 +525,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with deterministic tie-break (lexicographic lang), 'und' if all
     zero. (The driver corpus is synthetic so hits are sparse — the operator
     contract is what's tested.)"""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     w = _words_col(F.lower(F.col("text")))
     score_cols = []
     for lang, markers in sorted(_LANG_MARKERS.items()):
@@ -551,7 +567,7 @@ SQL_LANG_ID = _lang_id_sql()
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min sha256 over word-3-gram shingles (a
     1-permutation minhash — rolling-hash analog, SURVEY extension)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     sh = _shingles_col(F.col("text"))
     return docs.select(
         "doc_id",
@@ -572,7 +588,7 @@ FROM s
 
 def q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 — content hash (vector-sink merge key)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
 
 
@@ -588,7 +604,7 @@ def q_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     real spans operator, explode to rows. The DuckDB oracle states the
     expected span algebra directly."""
     from axora_spark.operators.spans import spans_udf
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=8)
     md = F.concat(F.lit("# Doc "), F.col("doc_id"), F.lit("\n\n"),
                   F.col("text"), F.lit("\n\n![img](https://cdn.example.org/"),
                   F.col("doc_id"), F.lit(".png)"))

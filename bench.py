@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402  (module scope: pandas_udf type-hint resolution)
 from pyspark.sql import functions as F  # noqa: E402
 
 from axora_spark.session import get_spark  # noqa: E402
@@ -49,12 +50,15 @@ def crawl_wave_bench(spark) -> dict:
             .select("url_hash"))
     t0 = time.time()
     from axora_spark.operators.frontier import anti_join_seen, dedup_within_wave
-    candidates = anti_join_seen(dedup_within_wave(frontier), seen)
+    candidates = anti_join_seen(dedup_within_wave(frontier), seen).persist()
     admitted, deferred = politeness.admit(candidates, host_budget=10_000,
                                           salt=16)
+    admitted = admitted.persist()
     n_admitted = admitted.count()
-    n_deferred = deferred.count()
+    n_deferred = deferred.count()   # anti-join against cached candidates
     dt = time.time() - t0
+    candidates.unpersist()
+    admitted.unpersist()
     return {
         "frontier_urls": CRAWL_FRONTIER_N,
         "seen_keys": CRAWL_SEEN_N,
@@ -73,6 +77,17 @@ def main():
 
     sf = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(
         os.path.basename(sf_dir.rstrip("/")), None)
+
+    # untimed warmup: spin up the Python UDF workers once (32 cold-start
+    # processes otherwise land inside the first UDF query's wall time)
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def _warm(s: pd.Series) -> pd.Series:
+        return s.astype("int32")
+
+    spark.range(10_000).repartition(int(cpus)) \
+        .select(_warm(F.col("id").cast("int"))).count()
 
     per_query: dict[str, float] = {}
     total = 0.0

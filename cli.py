@@ -1,0 +1,67 @@
+"""spark-submit entrypoint (north_rule: `spark-submit --py-files` launch).
+
+Package + launch:
+
+    cd /root/repo && zip -qr /tmp/axora_spark.zip axora_spark
+    spark-submit --py-files /tmp/axora_spark.zip cli.py \
+        --warehouse /tmp/axora_wh --pages 240 --waves 8 [--robots] [--content]
+
+On a real cluster, add `--master yarn|k8s://...` and executor sizing; the
+job code is identical (no local-mode assumptions outside session.py).
+The fixture corpus stands in for live fetch (sandbox is network-free).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="axora_spark crawl session")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--pages", type=int, default=240,
+                   help="fixture link-graph size")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--waves", type=int, default=16)
+    p.add_argument("--wave-seconds", type=float, default=20.0)
+    p.add_argument("--robots", action="store_true",
+                   help="target mode: robots gating + crawl-delay budgets")
+    p.add_argument("--content", action="store_true",
+                   help="run the content pipeline branch")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--cores", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from axora_spark.session import get_spark
+    from axora_spark.catalog import SnapshotCatalog
+    from axora_spark import datagen, schemas
+    from axora_spark.plans import crawl, content
+
+    spark = get_spark("axora-cli", cores=args.cores)
+    pages = datagen.link_graph_rows(args.pages, args.seed)
+    cfg = datagen.fixture_config(pages, robots_mode=args.robots,
+                                 wave_seconds=args.wave_seconds,
+                                 max_waves=args.waves)
+    catalog = SnapshotCatalog(args.warehouse)
+    corpus = spark.createDataFrame(pages, schemas.LINK_GRAPH)
+    run = crawl.run_crawl(
+        spark, catalog, cfg, corpus, resume=args.resume,
+        content_sink=content.make_content_sink(cfg) if args.content else None,
+        robots_txt=datagen.fixture_robots() if args.robots else None)
+
+    summary = {
+        "waves": run.waves_run,
+        "admitted": run.admitted_count,
+        "wave_metrics": run.wave_metrics,
+        "tables": {t: catalog.current_snapshot(t)
+                   for t in ("frontier", "seen", "admitted", "lineage",
+                             "metrics")},
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

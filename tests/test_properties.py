@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) over the pure-Python cores — these are
+the functions the engine↔oracle agreement rests on, so fuzz them."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from axora_spark.functions import urlnorm
+from axora_spark.functions.quality import quality_score_py
+from axora_spark.functions.textproc import porter2_stem
+from axora_spark.operators.bloom import Bloom
+from axora_spark.operators.chunking import (chunk_sentence_py,
+                                            chunk_markdown_py, token_count_py)
+from axora_spark.operators.spans import md_to_spans
+
+url_st = st.one_of(
+    st.text(max_size=80),
+    st.builds(lambda h, p, q: f"https://{h}.example.org/{p}" + (f"?{q}" if q else ""),
+              st.text(alphabet="abcxyz", min_size=1, max_size=8),
+              st.text(alphabet="abc/._-%09", max_size=20),
+              st.text(alphabet="ab=&1", max_size=10)))
+
+
+@given(url_st)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(u):
+    c = urlnorm.canonicalize(u)
+    assert urlnorm.canonicalize(c) == c
+
+
+@given(url_st)
+@settings(max_examples=200, deadline=None)
+def test_skip_norm_no_underscore_or_dot(u):
+    p = urlnorm.skip_norm_path(u)
+    assert "_" not in p and "." not in p
+    assert p == p.lower()
+
+
+@given(st.text(max_size=3000))
+@settings(max_examples=150, deadline=None)
+def test_quality_score_bounded(t):
+    s = quality_score_py(t)
+    assert 0.0 <= s <= 100.0
+
+
+@given(st.text(max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_sentence_chunker_invariants(t):
+    chunks = chunk_sentence_py(t)
+    for c in chunks:
+        assert c == c.strip() and c
+    assert chunks == chunk_sentence_py(t)  # deterministic
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_markdown_chunker_total(t):
+    # never raises, always returns a list of non-empty strings
+    for c in chunk_markdown_py(t):
+        assert c and c == c.strip()
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_token_count_nonnegative(t):
+    assert token_count_py(t) >= 0
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz'", min_size=1, max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_stemmer_total_and_stable(w):
+    s = porter2_stem(w)
+    assert isinstance(s, str)
+    assert porter2_stem(w) == s
+    # a stem never grows beyond the word by more than the 'e' restorations
+    assert len(s) <= len(w) + 1
+
+
+@given(st.text(max_size=1500))
+@settings(max_examples=100, deadline=None)
+def test_spans_offsets_sequential(md):
+    spans = md_to_spans(md)
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    for s in spans:
+        if s["kind"] == "text":
+            assert s["media_ref"] == "" and s["text"]
+        else:
+            assert s["text"] == "" and s["media_ref"]
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                min_size=1, max_size=2000, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_bloom_no_false_negatives_prop(keys):
+    arr = np.array(keys, dtype=np.int64)
+    b = Bloom.sized(len(arr))
+    b.add_many(arr)
+    assert b.contains_many(arr).all()

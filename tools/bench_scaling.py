@@ -23,6 +23,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+# size the single local JVM for the box: per-task execution memory is
+# heap/threads — at 4N threads a small heap spills where N threads don't,
+# which would understate scaling (measured: 16 g heap made local[32]
+# SLOWER than local[8] at 16M URLs)
+os.environ.setdefault("AXORA_DRIVER_MEM", "80g")
 from axora_spark.session import get_spark
 from axora_spark import datagen
 from axora_spark.operators import politeness
@@ -35,13 +40,22 @@ frontier = datagen.big_frontier(spark, n)
 seen = datagen.big_frontier(spark, n // 2).select("url_hash")
 # warm-up: materialize inputs once so JVM/codegen startup is excluded
 frontier.count(); seen.count()
-t0 = time.time()
-candidates = anti_join_seen(dedup_within_wave(frontier), seen)
-admitted, deferred = politeness.admit(candidates, host_budget=10000, salt=16)
-n_adm = admitted.count()
-n_def = deferred.count()
-dt = time.time() - t0
+# best-of-3 inside one JVM: this sandbox has bursty CPU steal (1-60%);
+# a single-shot timing can be off by >5x. Best-of measures the job,
+# not the neighbor; same-JVM reps also give steady-state JIT.
+secs = []
+for _ in range(3):
+    t0 = time.time()
+    candidates = anti_join_seen(dedup_within_wave(frontier), seen).persist()
+    admitted, deferred = politeness.admit(candidates, host_budget=10000, salt=16)
+    admitted = admitted.persist()
+    n_adm = admitted.count()
+    n_def = deferred.count()
+    secs.append(time.time() - t0)
+    candidates.unpersist(); admitted.unpersist()
+dt = min(secs)
 print(json.dumps({{"cores": cores, "n": n, "sec": dt,
+                   "all_secs": [round(x, 2) for x in secs],
                    "urls_per_sec": n / dt, "admitted": n_adm,
                    "deferred": n_def}}))
 """
@@ -90,8 +104,9 @@ I/O across machines. The plan contains no driver-side collect and no
 per-row Python; skew is handled by the two-phase salted window
 (axora_spark/operators/politeness.py) + AQE.
 
-raw: {json.dumps(r_lo)}
-     {json.dumps(r_hi)}
+raw (best of 3; all runs in `all_secs`):
+    {json.dumps(r_lo)}
+    {json.dumps(r_hi)}
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
