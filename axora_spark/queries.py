@@ -447,6 +447,52 @@ FROM embeddings GROUP BY 1
 # Text analysis (quality, tokens, language, fingerprint)
 # --------------------------------------------------------------------------
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket blocking (4 sign bits) →
+    within-bucket pairs with cosine ≥ 0.4 (the scale path: blocked
+    pairing, not all-pairs). Labels ride along for eyeballing."""
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    bucket = sum(
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i))
+         .otherwise(F.lit(0))
+        for i in range(4))
+    e = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(cosine_similarity(dbl(F.col("a.embedding")),
+                                    dbl(F.col("b.embedding"))), 6)
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.4))
+    # threshold 0.4: the driver embeddings are random 64-dim vectors (max
+    # within-bucket cosine ≈ 0.51) — a production near-dup threshold like
+    # 0.99 is config; 0.4 keeps the operator's output non-empty here
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)) AS bucket
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos_sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 + A1–A3 on the documents table — the engine's own native exprs."""
     docs = _t(spark, sf_dir, "documents", spread=True)
@@ -764,6 +810,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "embedding_near_dup": q_embedding_near_dup,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -789,6 +836,7 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "quality_scores": SQL_QUALITY_SCORES,
     "token_counts": SQL_TOKEN_COUNTS,
     "lang_id": SQL_LANG_ID,
