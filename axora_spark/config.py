@@ -55,6 +55,9 @@ class CrawlConfig:
     url_filters: tuple[str, ...] = DEFAULT_URL_FILTERS
     robots_mode: bool = False       # reference ignores robots (crawler.go:96);
                                     # target mode turns this on (north_rule)
+    priority_mode: str = "none"     # "none" (reference-compat: colly has no
+                                    # priorities) | "url_score" (target mode,
+                                    # operators/priority.py)
     topic: str = "economy"          # rest.http:5
     chunk_method: str = "md"        # "md" | "sen" (chunking.go:52-58)
     min_tokens: int = 75            # chunking.go:44,139

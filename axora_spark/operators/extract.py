@@ -38,8 +38,13 @@ def links_from_fetched(fetched: DataFrame, cfg: CrawlConfig, wave: int
              .withColumn("host", host_col(F.col("url")))
              .select("url", "host", "depth"))
     cands = apply_frontier_filters(cands, cfg)
+    if cfg.priority_mode == "url_score":
+        from axora_spark.operators.priority import url_priority_col
+        prio = url_priority_col(F.col("url"), F.col("depth"))
+    else:
+        prio = F.lit(0.0)
     return (cands
             .withColumn("url_hash", url_hash(F.col("url")))
-            .withColumn("priority", F.lit(0.0))
+            .withColumn("priority", prio)
             .withColumn("discovered_wave", F.lit(wave + 1))
             .withColumn("status", F.lit("pending")))

@@ -43,33 +43,47 @@ def dedup_within_wave(candidates: DataFrame) -> DataFrame:
             .withColumn("status", F.lit("pending")))
 
 
-def build_seen_blooms(seen: DataFrame, n_shards: int, fpp: float = 0.01
-                      ) -> dict[int, bytes]:
-    """Per-shard Blooms from the `seen` table, one task per shard.
+def build_seen_filters(seen: DataFrame, n_shards: int, fpp: float = 0.01,
+                       kind: str = "bloom") -> dict[int, bytes]:
+    """Per-shard membership filters from the `seen` table, one task/shard.
+
+    kind: "bloom" (default; smallest) or "cuckoo" (supports delete —
+    recrawl windows retire entries without a rebuild; operators/cuckoo.py).
 
     Shard key = pmod(url_hash, n_shards) — aligned with the frontier bucket
     key so the pre-filter stays embarrassingly parallel. Each group returns
-    one (shard, bloom_bytes) row; only the serialized filters (not the
+    one (shard, filter_bytes) row; only the serialized filters (not the
     keys) reach the driver."""
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf["url_hash"].to_numpy()
-        b = Bloom.sized(len(keys), fpp)
-        b.add_many(keys)
+        if kind == "cuckoo":
+            from axora_spark.operators.cuckoo import CuckooFilter
+            f = CuckooFilter.sized(len(keys))
+            f.add_many(keys)
+        else:
+            f = Bloom.sized(len(keys), fpp)
+            f.add_many(keys)
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
-                             "bloom": [b.to_bytes()]})
+                             "filter": [f.to_bytes()]})
 
     rows = (seen
             .select("url_hash",
                     F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard"))
             .groupBy("shard")
-            .applyInPandas(_build, schema="shard int, bloom binary")
+            .applyInPandas(_build, schema="shard int, filter binary")
             .collect())
-    return {r["shard"]: bytes(r["bloom"]) for r in rows}
+    return {r["shard"]: bytes(r["filter"]) for r in rows}
+
+
+# backwards-compatible alias (bloom default)
+def build_seen_blooms(seen: DataFrame, n_shards: int, fpp: float = 0.01
+                      ) -> dict[int, bytes]:
+    return build_seen_filters(seen, n_shards, fpp, kind="bloom")
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame,
                    blooms: dict[int, bytes] | None = None,
-                   n_shards: int = 8) -> DataFrame:
+                   n_shards: int = 8, filter_kind: str = "bloom") -> DataFrame:
     """J1 — drop candidates whose canonical-URL hash is already seen.
 
     With `blooms`, a broadcast sharded-Bloom pre-pass cheaply splits the
@@ -91,6 +105,10 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
 
     @F.pandas_udf("boolean")
     def maybe_seen(url_hash: pd.Series) -> pd.Series:
+        if filter_kind == "cuckoo":
+            from axora_spark.operators.cuckoo import CuckooFilter as _Filter
+        else:
+            _Filter = Bloom
         shards = bc.value
         keys = url_hash.to_numpy()
         out = pd.Series(False, index=url_hash.index)
@@ -100,7 +118,7 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
             if raw is None:
                 continue
             mask = shard_ids == sid
-            out[mask] = Bloom.from_bytes(raw).contains_many(keys[mask])
+            out[mask] = _Filter.from_bytes(raw).contains_many(keys[mask])
         return out
 
     tagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_hash")))

@@ -73,16 +73,23 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
 
     page_by_url = {urlnorm.canonicalize(p["url"]): p for p in pages}
 
+    if cfg.priority_mode == "url_score":
+        from axora_spark.operators.priority import url_priority_py as _prio
+    else:
+        def _prio(url: str, depth: int) -> float:
+            return 0.0
+
     # frontier: canon_url -> (depth, priority, discovered_wave)
     frontier: dict[str, tuple[int, float, int]] = {}
     for s in cfg.seeds:
         c = urlnorm.canonicalize(s)
         if c and passes_filters(c, cfg):
+            p = _prio(c, 1)
             prev = frontier.get(c)
             if prev is None:
-                frontier[c] = (1, 0.0, 0)
+                frontier[c] = (1, p, 0)
             else:
-                frontier[c] = (min(prev[0], 1), max(prev[1], 0.0),
+                frontier[c] = (min(prev[0], 1), max(prev[1], p),
                                min(prev[2], 0))
 
     seen: set[str] = set()
@@ -134,12 +141,13 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                 if not c or not passes_filters(c, cfg):
                     continue
                 n_links += 1
+                p = _prio(c, child_depth)
                 prev = next_frontier.get(c)
                 if prev is None:
-                    next_frontier[c] = (child_depth, 0.0, wave + 1)
+                    next_frontier[c] = (child_depth, p, wave + 1)
                 else:  # U1 dedup: min depth, max priority, min wave
                     next_frontier[c] = (min(prev[0], child_depth),
-                                        max(prev[1], 0.0),
+                                        max(prev[1], p),
                                         min(prev[2], wave + 1))
         metrics.append({
             "wave": wave, "candidates": len(candidates),

@@ -76,10 +76,15 @@ def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
           .withColumn("host", host_col(F.col("url")))
           .select("url", "host"))
     df = apply_frontier_filters(df, cfg)
+    df = df.withColumn("depth", F.lit(1))
+    if cfg.priority_mode == "url_score":
+        from axora_spark.operators.priority import url_priority_col
+        prio = url_priority_col(F.col("url"), F.col("depth"))
+    else:
+        prio = F.lit(0.0)
     return dedup_within_wave(
         df.withColumn("url_hash", url_hash(F.col("url")))
-          .withColumn("depth", F.lit(1))
-          .withColumn("priority", F.lit(0.0))
+          .withColumn("priority", prio)
           .withColumn("discovered_wave", F.lit(0)))
 
 
@@ -103,7 +108,8 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
               stop_after_wave: int | None = None,
               bloom_threshold: int = 100_000,
               content_sink=None,
-              robots_txt: dict[str, str] | None = None) -> CrawlRun:
+              robots_txt: dict[str, str] | None = None,
+              seen_filter_kind: str = "bloom") -> CrawlRun:
     """Run (or resume) a crawl session to completion.
 
     corpus: FETCHED-shaped fixture corpus (see sources.fetch). In a live
@@ -151,9 +157,12 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
         # J1 — anti-join seen, sharded-bloom pre-pass once seen is large
         blooms = None
         if run.seen_count >= bloom_threshold:
-            blooms = build_seen_blooms(seen, n_shards=32,
-                                       fpp=cfg.seen_bloom_fpp)
-        candidates = anti_join_seen(frontier, seen, blooms, n_shards=32)
+            from axora_spark.operators.frontier import build_seen_filters
+            blooms = build_seen_filters(seen, n_shards=32,
+                                        fpp=cfg.seen_bloom_fpp,
+                                        kind=seen_filter_kind)
+        candidates = anti_join_seen(frontier, seen, blooms, n_shards=32,
+                                    filter_kind=seen_filter_kind)
 
         # robots gate (target mode): disallowed URLs leave the frontier
         if robots_rules:
