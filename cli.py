@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--content", action="store_true",
                    help="run the content pipeline branch")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--priority", choices=["none", "url_score"],
+                   default="none", help="frontier priority scoring mode")
+    p.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
+                   default="bloom", help="sharded seen-filter kind")
+    p.add_argument("--bloom-threshold", type=int, default=100_000)
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -43,13 +48,16 @@ def main(argv: list[str] | None = None) -> int:
     pages = datagen.link_graph_rows(args.pages, args.seed)
     cfg = datagen.fixture_config(pages, robots_mode=args.robots,
                                  wave_seconds=args.wave_seconds,
-                                 max_waves=args.waves)
+                                 max_waves=args.waves,
+                                 priority_mode=args.priority)
     catalog = SnapshotCatalog(args.warehouse)
     corpus = spark.createDataFrame(pages, schemas.LINK_GRAPH)
     run = crawl.run_crawl(
         spark, catalog, cfg, corpus, resume=args.resume,
         content_sink=content.make_content_sink(cfg) if args.content else None,
-        robots_txt=datagen.fixture_robots() if args.robots else None)
+        robots_txt=datagen.fixture_robots() if args.robots else None,
+        seen_filter_kind=args.seen_filter,
+        bloom_threshold=args.bloom_threshold)
 
     summary = {
         "waves": run.waves_run,
