@@ -548,10 +548,10 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNTS = f"""
 SELECT doc_id,
-  coalesce(list_sum(list_transform({_WORDS_SQL},
-    w -> CAST(ceil(length(w)/4.0) AS INT))), 0) AS token_count,
-  coalesce(list_sum(list_transform({_WORDS_SQL},
-    w -> CAST(ceil(length(w)/4.0) AS INT))), 0) BETWEEN 75 AND 480
+  CAST(coalesce(list_sum(list_transform({_WORDS_SQL},
+    w -> CAST(ceil(length(w)/4.0) AS INT))), 0) AS INT) AS token_count,
+  CAST(coalesce(list_sum(list_transform({_WORDS_SQL},
+    w -> CAST(ceil(length(w)/4.0) AS INT))), 0) AS INT) BETWEEN 75 AND 480
     AS in_window
 FROM documents
 """
@@ -789,7 +789,8 @@ s AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM g)
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM s GROUP BY user_id
 """
 

@@ -1,15 +1,23 @@
 """Driver-contract gate in pytest: a representative subset of
 queries()/oracle_sql() pairs must agree (full sweep: tools/check_oracle.py).
-Subset keeps suite time sane; picks one query per operator family."""
+Subset keeps suite time sane; picks one query per operator family.
+
+Comparison goes THROUGH PANDAS on both sides — the driver's path — so
+engine-vs-oracle type artifacts (DuckDB HUGEINT → float64 `36.0` vs Spark
+int `36`) fail here, not only in the driver's CORRECTNESS report."""
 
 from __future__ import annotations
-
-import math
 
 import duckdb
 import pytest
 
 from axora_spark.queries import ORACLES, QUERIES
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from check_oracle import normalize_pdf  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 SUBSET = ["frontier_filters", "politeness_rank", "quality_scores",
@@ -29,19 +37,6 @@ def duck():
     return con
 
 
-def _norm(rows, cols):
-    out = []
-    for r in rows:
-        vals = []
-        for c in sorted(cols):
-            v = r[c]
-            if isinstance(v, float):
-                v = "NaN" if math.isnan(v) else round(v, 6)
-            vals.append(repr(v))
-        out.append("|".join(vals))
-    return sorted(out)
-
-
 def test_registry_complete():
     assert set(ORACLES) == set(QUERIES)
     assert len(QUERIES) >= 20
@@ -49,9 +44,7 @@ def test_registry_complete():
 
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_DIR)
-    srows = [r.asDict() for r in sdf.collect()]
-    rel = duck.sql(ORACLES[name])
-    drows = [dict(zip(rel.columns, t)) for t in rel.fetchall()]
-    assert sorted(sdf.columns) == sorted(rel.columns)
-    assert _norm(srows, sdf.columns) == _norm(drows, rel.columns), name
+    spdf = QUERIES[name](spark, SF_DIR).toPandas()
+    dpdf = duck.sql(ORACLES[name]).df()
+    assert sorted(spdf.columns) == sorted(dpdf.columns)
+    assert normalize_pdf(spdf) == normalize_pdf(dpdf), name

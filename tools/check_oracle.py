@@ -2,6 +2,11 @@
 on Spark and its oracle_sql() on DuckDB, compare row count, schema-ish, and
 order-insensitive values.
 
+Both result sets are fetched THROUGH PANDAS — the same path the driver uses
+— so type artifacts survive into the comparison (e.g. DuckDB HUGEINT →
+pandas float64 renders 36 as 36.0 and must mismatch a Spark int 36, exactly
+as the driver's value hash would).
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -10,22 +15,32 @@ from __future__ import annotations
 import math
 import sys
 
-import duckdb
+
+def norm_value(v):
+    """Mirror the driver's pandas-level value semantics: floats rounded to
+    6 places (NaN sentinel), numpy scalars unwrapped WITHOUT changing their
+    int-vs-float class, lists/arrays recursed."""
+    import numpy as np
+
+    if v is None:
+        return "None"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(round(f, 6))
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return repr(v)
 
 
-def normalize(rows, cols):
+def normalize_pdf(pdf):
+    cols = sorted(pdf.columns)
     out = []
-    for r in rows:
-        vals = []
-        for c in sorted(cols):
-            v = r[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-            vals.append(repr(v))
-        out.append("|".join(vals))
+    for _, r in pdf.iterrows():
+        out.append("|".join(norm_value(r[c]) for c in cols))
     return sorted(out)
 
 
@@ -34,6 +49,8 @@ def main():
     only = set(sys.argv[2:])
 
     sys.path.insert(0, "/root/repo")
+    import duckdb
+
     from axora_spark.queries import ORACLES, QUERIES
     from axora_spark.session import get_spark
 
@@ -51,16 +68,14 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = [r.asDict() for r in sdf.collect()]
-            scols = sdf.columns
-            rel = con.sql(ORACLES[name])
-            dcols = rel.columns
-            drows = [dict(zip(dcols, t)) for t in rel.fetchall()]
-            if sorted(scols) != sorted(dcols):
-                failures.append((name, f"cols {sorted(scols)} != {sorted(dcols)}"))
-                print(f"FAIL {name}: column mismatch {sorted(scols)} vs {sorted(dcols)}")
+            spdf = sdf.toPandas()
+            dpdf = con.sql(ORACLES[name]).df()
+            if sorted(spdf.columns) != sorted(dpdf.columns):
+                failures.append((name, "cols"))
+                print(f"FAIL {name}: column mismatch "
+                      f"{sorted(spdf.columns)} vs {sorted(dpdf.columns)}")
                 continue
-            a, b = normalize(srows, scols), normalize(drows, dcols)
+            a, b = normalize_pdf(spdf), normalize_pdf(dpdf)
             if len(a) != len(b):
                 failures.append((name, f"rowcount {len(a)} != {len(b)}"))
                 print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}")
@@ -69,10 +84,10 @@ def main():
                 print("  spark-only:", da)
                 print("  duck-only :", db)
             elif a != b:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                diff = [(x, y) for x, y in zip(a, b) if x != y]
                 failures.append((name, f"values differ, e.g. {diff[:1]}"))
-                print(f"FAIL {name}: {len([1 for x,y in zip(a,b) if x!=y])} differing rows")
-                for x, y in diff:
+                print(f"FAIL {name}: {len(diff)} differing rows")
+                for x, y in diff[:3]:
                     print("  spark:", x[:180])
                     print("  duck :", y[:180])
             else:
