@@ -144,18 +144,48 @@ class SnapshotCatalog:
                                df: DataFrame, key: str) -> int:
         """MERGE INTO t USING df ON t.key = df.key WHEN NOT MATCHED INSERT *.
 
-        Duplicate keys *within* df are also collapsed (first wins by key
-        hash order) so the sink stays a keyed set — matches the reference
+        Duplicate keys *within* df collapse DETERMINISTICALLY to the
+        struct-minimum of the non-key columns (dropDuplicates keeps an
+        arbitrary row, which would make replays nondeterministic when the
+        same content_hash arrives from different pages) — the sink stays a
+        keyed set with reproducible non-key columns; matches the reference
         sink where point id is derived from the content hash
         (pkg/qdrantdb/crawl_vector.go:42-45)."""
         existing = self.read(spark, name).select(key)
-        fresh = (df.dropDuplicates([key])
-                   .join(existing, on=key, how="left_anti"))
+        others = [c for c in df.columns if c != key]
+
+        def _orderable(dt: T.DataType) -> bool:
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return _orderable(dt.elementType)
+            return True
+
+        ord_cols = [c for c in others
+                    if _orderable(df.schema[c].dataType)]
+        if ord_cols:
+            # min_by over the orderable columns: rows tying on every
+            # orderable column are identical for our sinks (same key ⇒
+            # same source row), so the pick is reproducible
+            collapsed = (df.groupBy(key)
+                         .agg(F.min_by(F.struct(*others),
+                                       F.struct(*ord_cols)).alias("_row"))
+                         .select(key, *[F.col(f"_row.{c}").alias(c)
+                                        for c in others])
+                         .select(*df.columns))
+        else:
+            collapsed = df.dropDuplicates([key])
+        fresh = collapsed.join(existing, on=key, how="left_anti")
         return self.append(spark, name, fresh)
 
-    def rollback(self, name: str, snapshot_id: int) -> None:
+    def rollback(self, name: str, snapshot_id: int | None) -> None:
+        """Point `current` at an older snapshot; None = the empty table
+        (pre-first-commit state) — used by mid-wave crash recovery."""
         meta = self._load_meta(name)
-        if all(s["id"] != snapshot_id for s in meta["snapshots"]):
+        if snapshot_id is not None and \
+                all(s["id"] != snapshot_id for s in meta["snapshots"]):
             raise ValueError(f"unknown snapshot {snapshot_id}")
         meta["current"] = snapshot_id
         self._store_meta(name, meta)

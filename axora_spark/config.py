@@ -60,6 +60,10 @@ class CrawlConfig:
                                     # operators/priority.py)
     topic: str = "economy"          # rest.http:5
     chunk_method: str = "md"        # "md" | "sen" (chunking.go:52-58)
+    tokenizer: str = "wordpiece"    # "wordpiece" (BGE/BERT vocab, X10,
+                                    # chunking.go:34-36) | "estimate"
+                                    # (native ceil(len/4)); wordpiece falls
+                                    # back to estimate if no tokenizer.json
     min_tokens: int = 75            # chunking.go:44,139
     max_tokens: int = 480           # docker-compose.yml:20
     quality_threshold: float = 67.0  # text_extraction.go:171

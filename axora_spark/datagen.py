@@ -131,11 +131,22 @@ def link_graph_rows(n_pages: int = 120, seed: int = 42,
 
         relevant = (i % 3 != 0)  # 2/3 of pages pass the topic gate
         title = (f"Economy outlook {i}" if relevant else f"Cooking tips {i}")
+        # extra metas feed the P1 metadata projection; their values are
+        # topic-NEUTRAL (no 'eco' trigram) so the F5 gate outcome is
+        # unchanged vs the 2-meta round-1 fixtures
         metas = [
             {"name": "description", "property": "",
              "content": (f"economic analysis {i}" if relevant
                          else f"pastry recipes {i}")},
             {"name": "", "property": "og:title", "content": title},
+            {"name": "author", "property": "", "content": f"Writer {i % 9}"},
+            {"name": "", "property": "og:site_name", "content": host},
+            {"name": "keywords", "property": "",
+             "content": f"fixture, synthetic, k{i % 5}"},
+            {"name": "", "property": "article:published_time",
+             "content": f"2025-01-{(i % 27) + 1:02d}T12:00:00Z"},
+            {"name": "", "property": "og:image",
+             "content": f"https://cdn.example.org/img/{i}.png"},
         ]
         rows.append({
             "url": url, "host": host, "title": title, "metas": metas,
@@ -148,6 +159,89 @@ def link_graph(spark: SparkSession, n_pages: int = 120, seed: int = 42
                ) -> DataFrame:
     return spark.createDataFrame(link_graph_rows(n_pages, seed),
                                  schema=schemas.LINK_GRAPH)
+
+
+# ---------------------------------------------------------------------------
+# Raw-HTML fixtures — the engine parses these itself (X3/X4/X5 + P1).
+# render_page_html is the EXACT inverse of operators.html.parse_page for the
+# constructs the fixtures use (pinned by tests/test_html round-trip), so the
+# pure-Python oracle keeps consuming the parsed fields while the engine
+# starts from raw HTML.
+# ---------------------------------------------------------------------------
+
+def _md_block_to_html(block: str) -> str:
+    import re as _re
+
+    from axora_spark.operators.html import escape
+    m = _re.fullmatch(r"(#{1,6}) (.*)", block, _re.S)
+    if m:
+        lvl = len(m.group(1))
+        return f"<h{lvl}>{escape(m.group(2))}</h{lvl}>"
+    m = _re.fullmatch(r"!\[([^\]]*)\]\(([^)\s]+)\)", block)
+    if m:
+        return (f'<p><img alt="{escape(m.group(1))}" '
+                f'src="{escape(m.group(2))}"/></p>')
+    return f"<p>{escape(block)}</p>"
+
+
+def render_page_html(row: dict) -> str:
+    """Fixture page → realistic HTML: head carries title + every meta; ALL
+    out-links live in boilerplate nav/footer anchors (the reference's
+    OnHTML fires per anchor over the whole DOM — link extraction is NOT
+    main-content-scoped, crawler/dom_handler.go:17-29); the article body
+    sits in <main>, which the X4 heuristic must pick over the nav/aside
+    boilerplate."""
+    from axora_spark.operators.html import escape
+    head = [f"<title>{escape(row['title'] or '')}</title>"]
+    for m in row["metas"] or []:
+        attrs = []
+        if m.get("name"):
+            attrs.append(f'name="{escape(m["name"])}"')
+        if m.get("property"):
+            attrs.append(f'property="{escape(m["property"])}"')
+        attrs.append(f'content="{escape(m.get("content") or "")}"')
+        head.append("<meta " + " ".join(attrs) + "/>")
+    links = row["out_links"] or []
+    nav = "\n".join(f'<a href="{escape(h)}">link {j}</a>'
+                    for j, h in enumerate(links[: len(links) // 2 + 1]))
+    footer = "\n".join(f'<a href="{escape(h)}">more {j}</a>'
+                       for j, h in enumerate(links[len(links) // 2 + 1:]))
+    blocks = [b.strip() for b in (row["body_md"] or "").split("\n\n")]
+    main = "\n".join(_md_block_to_html(b) for b in blocks if b)
+    return f"""<!DOCTYPE html>
+<html lang="en">
+<head>
+{chr(10).join(head)}
+</head>
+<body>
+<header><nav>
+{nav}
+</nav></header>
+<aside><p>Sponsored: unrelated sidebar copy with plenty of words that the
+main-content heuristic must not pick.</p></aside>
+<main>
+{main}
+</main>
+<footer>
+{footer}
+<p>© fixture footer boilerplate</p>
+</footer>
+</body>
+</html>"""
+
+
+def html_graph_rows(n_pages: int = 120, seed: int = 42) -> list[dict]:
+    """Raw-HTML corpus rows (url, host, body_html) rendered from the same
+    deterministic graph; the parsed-field rows remain the oracle's input."""
+    return [{"url": r["url"], "host": r["host"],
+             "body_html": render_page_html(r)}
+            for r in link_graph_rows(n_pages, seed)]
+
+
+def html_graph(spark: SparkSession, n_pages: int = 120, seed: int = 42
+               ) -> DataFrame:
+    return spark.createDataFrame(html_graph_rows(n_pages, seed),
+                                 schema=schemas.HTML_GRAPH)
 
 
 def fixture_seeds(rows: list[dict], per_host: int = 2) -> tuple[str, ...]:

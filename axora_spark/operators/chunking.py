@@ -38,7 +38,14 @@ CHUNK_OVERLAP = 50
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
 
 
-# ---------------- token count (X10 stand-in) ----------------
+# ---------------- token count (X10) ----------------
+# Two interchangeable counters:
+#   "wordpiece" — the real BGE/BERT wordpiece count (functions/wordpiece.py,
+#                 mirrors chunking.go:134-136); pandas UDF, per-executor
+#                 lazy vocab singleton. The DEFAULT when tokenizer.json is
+#                 reachable.
+#   "estimate"  — Σ ceil(len(word)/4): fully native-SQL on both Spark and
+#                 DuckDB, kept for the oracle contract and as the fallback.
 
 def token_count_py(text: str) -> int:
     return sum(math.ceil(len(w) / 4) for w in text.split())
@@ -50,6 +57,38 @@ def token_count_col(text: Column) -> Column:
     return F.aggregate(
         words, F.lit(0),
         lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"))
+
+
+def resolve_token_counter(tokenizer: str):
+    """Pure-Python counter for `tokenizer`, shared by the content oracle and
+    the Spark UDF so both sides always agree."""
+    if tokenizer == "wordpiece":
+        from axora_spark.functions import wordpiece
+        if wordpiece.available():
+            return wordpiece.count_tokens
+    return token_count_py
+
+
+def wordpiece_count_udf(tokenizer: str = "wordpiece"):
+    """Vectorized X10: real wordpiece counts (Arrow batches; the vocab set
+    loads once per executor inside the UDF)."""
+    @F.pandas_udf(T.IntegerType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        fn = resolve_token_counter(tokenizer)
+        return pd.Series([fn(t or "") for t in texts],
+                         index=texts.index, dtype="int32")
+    return _udf
+
+
+def token_count_expr(text: Column, tokenizer: str) -> Column:
+    """The engine's token-count column: native estimate stays JVM-side;
+    wordpiece goes through the Arrow UDF (the tokenizer IS the operator —
+    Python is unavoidable and batched)."""
+    if tokenizer == "wordpiece":
+        from axora_spark.functions import wordpiece
+        if wordpiece.available():
+            return wordpiece_count_udf(tokenizer)(text)
+    return token_count_col(text)
 
 
 # ---------------- recursive-character splitter (C3) ----------------

@@ -55,16 +55,28 @@ def build_seen_filters(seen: DataFrame, n_shards: int, fpp: float = 0.01,
     one (shard, filter_bytes) row; only the serialized filters (not the
     keys) reach the driver."""
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = pdf["url_hash"].to_numpy()
+        import numpy as np
+        keys = np.unique(pdf["url_hash"].to_numpy())
+        blob = None
         if kind == "cuckoo":
             from axora_spark.operators.cuckoo import CuckooFilter
-            f = CuckooFilter.sized(len(keys))
+            # a FAILED cuckoo insert is a false NEGATIVE (truly-seen URL
+            # passes the 'definitely unseen' fast path and gets re-admitted)
+            # — the one failure mode the safety policy forbids. Dedup keys,
+            # retry 2× larger once, and fall back to a Bloom for this shard
+            # if it still fails; the blob self-describes its kind (1 tag
+            # byte) so mixed shards read correctly.
+            for scale in (1, 2):
+                f = CuckooFilter.sized(max(len(keys) * scale, 1))
+                if f.add_many(keys) == 0:
+                    blob = b"C" + f.to_bytes()
+                    break
+        if blob is None:
+            f = Bloom.sized(max(len(keys), 1), fpp)
             f.add_many(keys)
-        else:
-            f = Bloom.sized(len(keys), fpp)
-            f.add_many(keys)
+            blob = b"B" + f.to_bytes()
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
-                             "filter": [f.to_bytes()]})
+                             "filter": [blob]})
 
     rows = (seen
             .select("url_hash",
@@ -105,10 +117,6 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
 
     @F.pandas_udf("boolean")
     def maybe_seen(url_hash: pd.Series) -> pd.Series:
-        if filter_kind == "cuckoo":
-            from axora_spark.operators.cuckoo import CuckooFilter as _Filter
-        else:
-            _Filter = Bloom
         shards = bc.value
         keys = url_hash.to_numpy()
         out = pd.Series(False, index=url_hash.index)
@@ -117,8 +125,15 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
             raw = shards.get(int(sid))
             if raw is None:
                 continue
+            # blobs are tagged per shard (cuckoo build may have fallen
+            # back to bloom for an over-full shard)
+            if raw[:1] == b"C":
+                from axora_spark.operators.cuckoo import \
+                    CuckooFilter as _Filter
+            else:
+                _Filter = Bloom
             mask = shard_ids == sid
-            out[mask] = _Filter.from_bytes(raw).contains_many(keys[mask])
+            out[mask] = _Filter.from_bytes(raw[1:]).contains_many(keys[mask])
         return out
 
     tagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_hash")))

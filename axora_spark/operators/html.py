@@ -44,8 +44,9 @@ from html.parser import HTMLParser
 from typing import Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from axora_spark.schemas import FETCHED, METADATA
 
 # ---------------------------------------------------------------------------
 # Mini-DOM
@@ -254,14 +255,23 @@ def _render_block(node: _Node, blocks: list[str], list_depth: int) -> None:
         blocks.append("---")
         return
     if node.tag in ("ul", "ol"):
-        items = []
+        items: list[str] = []
         i = 1
         for c in node.children:
             if isinstance(c, _Node) and c.tag == "li":
                 marker = f"{i}. " if node.tag == "ol" else "- "
+                inline = "".join(
+                    x if isinstance(x, str) else _render_inline_one(x)
+                    for x in c.children
+                    if isinstance(x, str) or x.tag not in ("ul", "ol"))
                 items.append("  " * list_depth + marker
-                             + _ws_collapse(_render_inline(c)))
+                             + _ws_collapse(inline))
                 i += 1
+                for sub in c.children:
+                    if isinstance(sub, _Node) and sub.tag in ("ul", "ol"):
+                        subblocks: list[str] = []
+                        _render_block(sub, subblocks, list_depth + 1)
+                        items.extend(subblocks)
         if items:
             blocks.append("\n".join(items))
         return
@@ -295,7 +305,7 @@ def _render_mixed(node: _Node, blocks: list[str], list_depth: int,
         elif c.tag in _BLOCKS or c.tag in _HEADINGS or c.tag in _BOILERPLATE:
             flush()
             if c.tag not in _BOILERPLATE:
-                _render_block(c, blocks, list_depth + (c.tag in ("ul", "ol")))
+                _render_block(c, blocks, list_depth)
         else:
             run.append(_render_inline_one(c))
     if container:
@@ -329,29 +339,9 @@ def _render_inline_one(n: _Node) -> str:
 
 
 # ---------------------------------------------------------------------------
-# P1 — ContentMetadata projection (text_extraction.go:24-41, mapped :66-79)
+# P1 — ContentMetadata projection (text_extraction.go:24-41, mapped :66-79).
+# Struct layout lives in schemas.METADATA.
 # ---------------------------------------------------------------------------
-
-METADATA = T.StructType([
-    T.StructField("title", T.StringType(), True),
-    T.StructField("author", T.StringType(), True),
-    T.StructField("description", T.StringType(), True),
-    T.StructField("site_name", T.StringType(), True),
-    T.StructField("published_date", T.TimestampType(), True),
-    T.StructField("modified_date", T.TimestampType(), True),
-    T.StructField("language", T.StringType(), True),
-    T.StructField("tags", T.ArrayType(T.StringType()), True),
-    T.StructField("categories", T.ArrayType(T.StringType()), True),
-    T.StructField("image_url", T.StringType(), True),
-    T.StructField("license", T.StringType(), True),
-    T.StructField("id", T.StringType(), True),
-    T.StructField("fingerprint", T.StringType(), True),
-    T.StructField("excerpt", T.StringType(), True),
-    T.StructField("comments_count", T.IntegerType(), True),
-    T.StructField("raw_metadata", T.MapType(T.StringType(), T.StringType()),
-                  True),
-])
-
 
 def _parse_iso(s: str):
     if not s:
@@ -431,11 +421,7 @@ def parse_page(html: str) -> dict:
             "body_md": body_md, "metadata": meta}
 
 
-_META_FIELD = T.ArrayType(T.StructType([
-    T.StructField("name", T.StringType(), True),
-    T.StructField("property", T.StringType(), True),
-    T.StructField("content", T.StringType(), True),
-]))
+_META_FIELD = FETCHED["metas"].dataType
 
 
 def parse_fetched_html(fetched: DataFrame,

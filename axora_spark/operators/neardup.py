@@ -1,0 +1,163 @@
+"""Near-duplicate detection operators — the blocked scale paths.
+
+Round-1 shipped two quadratic near-dup queries (all-pairs joins behind thin
+blocking); this module is the fix: every pair enumeration goes through a
+bounded block key, so candidate counts are O(Σ bucket²) with bucket sizes
+the operator can cap, never O(n²).
+
+Shapes (all pure DataFrame algebra — hash-partitioned joins and groupBys
+that AQE can skew-split; no collects, no UDFs):
+
+  * blocked n-gram Jaccard: block on K one-permutation minhashes of the
+    word set (two docs with Jaccard J share one min under a random
+    permutation with probability J, so K=2 keys give recall ≥ 1-(1-J)^2 —
+    0.96 at the 0.8 threshold), verify exact Jaccard within blocks only.
+  * banded minhash LSH: signature table (computed once, reusable/
+    persistable), band keys, bucket join with optional per-bucket cap
+    (oversized buckets are degenerate shingle collisions — cap + count
+    them rather than letting one bucket go quadratic).
+  * embedding sign-LSH: L tables × B sign bits per table (table t uses
+    dims [t·B, (t+1)·B)); candidates agree on ALL B bits in ≥1 table;
+    exact cosine verifies. B/L trade recall vs candidate volume; at a
+    production 0.99-cosine threshold use B=16, L=4 (SEMANTICS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Word-set helpers (shared with queries.py's SQL mirrors)
+# --------------------------------------------------------------------------
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def block_keys_minword(ws: Column, n_keys: int = 2) -> Column:
+    """K one-permutation minhashes of a word array: key_i = min over words
+    of sha256(word ∥ '#' ∥ i). Returns array<string> of length n_keys.
+
+    The permutation constant binds via an OUTER variable, never a lambda
+    default arg — a 2-arg transform lambda is the (element, index) overload
+    and pyspark would silently pass the array index as the second arg."""
+    keys = []
+    for i in range(n_keys):
+        suffix = F.lit(f"#{i}")
+        keys.append(F.array_min(F.transform(
+            ws, lambda w: F.sha2(F.concat(w, suffix), 256))))
+    return F.array(*keys)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                        n_keys: int = 2, round_to: int = 6) -> DataFrame:
+    """Blocked word-set Jaccard near-dup: docs(doc_id, text) →
+    (doc_a, doc_b, jaccard ≥ threshold). Pairing happens ONLY within
+    min-word blocks (explode of K keys → hash join on the key), then the
+    exact Jaccard verifies. Candidate pairs from different keys dedup via
+    the final distinct (jaccard is deterministic per pair)."""
+    sets = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(words_col(F.col("text"))).alias("ws"))
+    keyed = (sets.filter(F.size("ws") > 0)
+             .select("doc_id", "ws",
+                     F.explode(block_keys_minword(F.col("ws"), n_keys))
+                     .alias("bk")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    jac = F.round(inter.cast("double") / union, round_to)
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .distinct())
+
+
+# --------------------------------------------------------------------------
+# Banded minhash LSH (reusable signature)
+# --------------------------------------------------------------------------
+
+def band_buckets(sig: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, perm, minhash) signature rows → (doc_id, band, band_key)."""
+    banded = sig.withColumn(
+        "band", (F.col("perm") / rows_per_band).cast("int"))
+    return (banded.groupBy("doc_id", "band")
+            .agg(F.concat_ws("|", F.array_sort(
+                F.collect_list("minhash"))).alias("band_key")))
+
+
+def lsh_candidate_pairs(bands: DataFrame,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Bucket join over (band, band_key) → distinct (doc_a, doc_b).
+    max_bucket caps degenerate buckets: a bucket of m docs yields m²/2
+    pairs, so one pathological band key (empty docs, boilerplate) can
+    dominate the whole job at scale; capped buckets are DROPPED (their
+    members still pair through their other, more selective bands)."""
+    if max_bucket is not None:
+        sizes = (bands.groupBy("band", "band_key")
+                 .agg(F.count("*").alias("_bsz")))
+        bands = (bands.join(sizes, ["band", "band_key"])
+                 .filter(F.col("_bsz") <= max_bucket)
+                 .drop("_bsz"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+# --------------------------------------------------------------------------
+# Embedding sign-LSH (multi-table)
+# --------------------------------------------------------------------------
+
+def sign_lsh_keys(emb: Column, bits: int, tables: int) -> Column:
+    """array<long> of `tables` bucket keys; table t packs the sign bits of
+    dims [t·bits, (t+1)·bits). Deterministic coordinate hyperplanes keep
+    the operator native-SQL mirrorable; production would rotate with a
+    seeded random projection first (same shape, one extra matmul)."""
+    keys = []
+    for t in range(tables):
+        k = F.lit(0).cast("long")
+        for i in range(bits):
+            dim = t * bits + i + 1  # element_at is 1-based
+            k = k + F.when(F.element_at(emb, dim) >= 0,
+                           F.lit(1 << i)).otherwise(F.lit(0))
+        # disambiguate tables: same bit pattern in different tables must
+        # not collide into one join key
+        keys.append(k + F.lit(t << bits))
+    return F.array(*keys)
+
+
+def embedding_near_dup_pairs(emb: DataFrame, cosine_expr,
+                             threshold: float, bits: int = 8,
+                             tables: int = 2,
+                             max_bucket: int | None = None,
+                             round_to: int = 6) -> DataFrame:
+    """emb(vec_id, embedding) → (vec_a, vec_b, cos_sim ≥ threshold),
+    candidates from multi-table sign-LSH buckets only."""
+    keyed = emb.select(
+        "vec_id", "embedding",
+        F.explode(sign_lsh_keys(F.col("embedding"), bits, tables))
+        .alias("bk"))
+    if max_bucket is not None:
+        sizes = keyed.groupBy("bk").agg(F.count("*").alias("_bsz"))
+        keyed = (keyed.join(sizes, "bk")
+                 .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cos = F.round(cosine_expr(dbl(F.col("a.embedding")),
+                              dbl(F.col("b.embedding"))), round_to)
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct())

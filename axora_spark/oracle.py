@@ -106,6 +106,12 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                 u: v for u, v in candidates.items()
                 if is_allowed(robots_rules.get(urlnorm.host_of(u)),
                               urlnorm.path_of(u))}
+        if not candidates:
+            # closure alignment with the engine: a wave with zero
+            # candidates (everything robots-blocked) ends the crawl WITHOUT
+            # counting the wave or emitting metrics (plans/crawl.py sets
+            # done at n_admitted==0 before any append)
+            break
         # W1 — per-host admission
         by_host: dict[str, list[str]] = {}
         for u in candidates:

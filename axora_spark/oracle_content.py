@@ -10,7 +10,8 @@ from axora_spark.config import CrawlConfig
 from axora_spark.functions.quality import quality_score_py
 from axora_spark.functions.textproc import is_meta_relevant
 from axora_spark.functions import urlnorm
-from axora_spark.operators.chunking import chunk_text_py, token_count_py
+from axora_spark.operators.chunking import (chunk_text_py,
+                                            resolve_token_counter)
 from axora_spark.operators.spans import md_to_spans
 
 
@@ -42,13 +43,14 @@ def expected_chunks(docs: dict[str, dict], cfg: CrawlConfig
                     ) -> list[tuple[str, int, str, int]]:
     """(doc_id, chunk_index, text, token_count) — pre-gate indices, matching
     posexplode-then-filter semantics."""
+    count = resolve_token_counter(cfg.tokenizer)
     out = []
     for doc_id, d in sorted(docs.items()):
         for i, c in enumerate(chunk_text_py(d["text"], cfg.chunk_method)):
             c = c.strip()
             if not c:
                 continue
-            tc = token_count_py(c)
+            tc = count(c)
             if cfg.min_tokens <= tc <= cfg.max_tokens:
                 out.append((doc_id, i, c, tc))
     return out

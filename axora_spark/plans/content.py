@@ -24,7 +24,7 @@ from axora_spark.config import CrawlConfig
 from axora_spark.functions.quality import quality_gate
 from axora_spark.functions.textproc import is_meta_relevant
 from axora_spark.operators.chunking import (chunk_gate, chunks_udf,
-                                            token_count_col)
+                                            token_count_expr)
 from axora_spark.operators.embed import with_embeddings
 from axora_spark.operators.spans import spans_to_text, spans_udf
 
@@ -48,22 +48,31 @@ def documents_from_fetched(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
     can't be relevant — expressed natively so it prunes before the UDF."""
     pages = fetched.filter(F.col("http_status") == 200)
     if len(cfg.topic) >= 3:
-        blob = F.lower(F.concat_ws(
-            " ", F.col("title"),
-            F.array_join(F.transform(
-                F.col("metas"),
-                lambda m: F.concat_ws("", m["name"], m["property"],
-                                      m["content"])), " ")))
-        pages = pages.filter(blob.contains(cfg.topic[:3].lower()))
+        # per-meta blob = title∥name∥property∥content with NO separator —
+        # the exact concatenation is_meta_relevant/the reference gate test
+        # (dom_handler.go:190-196), so the native pre-filter is a strict
+        # SUPERSET of the UDF gate (a trigram spanning the title/meta-field
+        # boundary must not be pruned here)
+        blobs = F.transform(
+            F.col("metas"),
+            lambda m: F.lower(F.concat_ws("", F.col("title"), m["name"],
+                                          m["property"], m["content"])))
+        hit = F.exists(blobs,
+                       lambda b: b.contains(cfg.topic[:3].lower()))
+        pages = pages.filter(F.coalesce(hit, F.lit(False)))
     pages = pages.filter(meta_relevant_udf(cfg.topic)(
         F.col("title"), F.col("metas")))
 
+    # P1 — metadata rides along from the HTML parse stage; pre-parsed
+    # corpora (no parse stage upstream) get a null struct
+    meta_col = F.col("metadata") if "metadata" in pages.columns \
+        else F.lit(None).cast(schemas.METADATA)
     docs = (pages
             .withColumn("spans", spans_udf()(F.col("body_md"), F.col("url")))
             .withColumn("_text", spans_to_text(F.col("spans")))
             .filter(quality_gate(F.col("_text"), cfg.quality_threshold))
             .select(F.sha2(F.col("url"), 256).alias("doc_id"),
-                    "url", "spans", "_text"))
+                    "url", "spans", meta_col.alias("metadata"), "_text"))
     return docs
 
 
@@ -78,7 +87,8 @@ def chunks_from_documents(docs: DataFrame, cfg: CrawlConfig) -> DataFrame:
                 .withColumn("text", F.trim(F.col("text")))
                 .filter(F.col("text") != ""))
     return (exploded
-            .withColumn("token_count", token_count_col(F.col("text")))
+            .withColumn("token_count",
+                        token_count_expr(F.col("text"), cfg.tokenizer))
             .filter(chunk_gate(F.col("token_count"),
                                cfg.min_tokens, cfg.max_tokens)))
 
@@ -101,7 +111,8 @@ def make_content_sink(cfg: CrawlConfig):
 
         docs = documents_from_fetched(fetched, cfg).persist()
         catalog.merge_insert_if_absent(
-            spark, "documents", docs.select("doc_id", "url", "spans"),
+            spark, "documents",
+            docs.select("doc_id", "url", "spans", "metadata"),
             key="doc_id")
         chunks = chunks_from_documents(docs, cfg)
         catalog.append(spark, "chunks",

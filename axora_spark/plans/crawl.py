@@ -103,17 +103,60 @@ def _record_lineage(spark: SparkSession, catalog: SnapshotCatalog, wave: int,
                    spark.createDataFrame(rows, schemas.LINEAGE))
 
 
+# every table a wave mutates — the rollback set for mid-wave crash recovery
+_MANAGED_TABLES = ("frontier", "seen", "admitted", "metrics",
+                   "documents", "chunks", "vectors")
+
+
+def _rollback_incomplete_wave(spark: SparkSession, catalog: SnapshotCatalog,
+                              next_wave: int) -> None:
+    """Make resume idempotent for MID-WAVE crashes: wave w commits several
+    appends (admitted/seen/content tables/frontier/metrics) BEFORE
+    _save_state advances next_wave to w+1, so a kill inside the wave leaves
+    partial appends that a naive re-run would duplicate. On resume, restore
+    every managed table to its last lineage-recorded snapshot for waves <
+    next_wave (None = empty), and trim lineage rows of the crashed wave."""
+    if not catalog.table_exists("lineage"):
+        return
+    rows = catalog.read(spark, "lineage").collect()
+    last: dict[str, tuple[int, int]] = {}
+    crashed = False
+    for r in rows:
+        if r.wave >= next_wave:
+            crashed = True
+            continue
+        if r.table not in last or r.wave > last[r.table][0]:
+            last[r.table] = (r.wave, r.snapshot_id)
+    for t in _MANAGED_TABLES:
+        if not catalog.table_exists(t):
+            continue
+        want = last.get(t, (None, None))[1]
+        if t == "frontier" and want is None:
+            continue  # wave-0 crash: keep the seeded frontier overwrite
+        if catalog.current_snapshot(t) != want:
+            catalog.rollback(t, want)
+    if crashed:
+        keep = [(r.wave, r.table, r.snapshot_id, r.n_rows, r.n_partitions)
+                for r in rows if r.wave < next_wave]
+        catalog.overwrite(spark, "lineage",
+                          spark.createDataFrame(keep, schemas.LINEAGE))
+
+
 def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
-              corpus: DataFrame, resume: bool = False,
+              corpus: DataFrame | None, resume: bool = False,
               stop_after_wave: int | None = None,
               bloom_threshold: int = 100_000,
               content_sink=None,
               robots_txt: dict[str, str] | None = None,
-              seen_filter_kind: str = "bloom") -> CrawlRun:
+              seen_filter_kind: str = "bloom",
+              fetcher=None) -> CrawlRun:
     """Run (or resume) a crawl session to completion.
 
-    corpus: FETCHED-shaped fixture corpus (see sources.fetch). In a live
-    deployment this argument is replaced by the HTTP fetch stage.
+    corpus: fixture corpus (raw-HTML or pre-parsed; see sources.fetch),
+    or None when `fetcher` is given.
+    fetcher: optional callable (admitted_df, wave) -> FETCHED_RAW rows —
+    the real S3 stage (sources.fetch.fetch_http with a transport); takes
+    precedence over `corpus`.
     stop_after_wave: simulate a crash after wave k (resume testing).
     content_sink: optional callable (spark, catalog, fetched_df, wave) — the
     content pipeline branch (plans.content.process_wave); decoupled so the
@@ -139,15 +182,29 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
         init_tables(catalog)
         frontier = seed_frontier(spark, cfg)
         sid = catalog.overwrite(spark, "frontier", frontier)
+        # wave -1 lineage row pins the SEEDED frontier so a crash inside
+        # wave 0 (after its frontier overwrite) can still roll back to it
+        seed_meta = catalog.snapshots("frontier")[-1]
+        _record_lineage(spark, catalog, -1, [
+            ("frontier", sid, seed_meta["n_rows"],
+             seed_meta["n_partitions"])])
         state = {"next_wave": 0, "done": False, "seen_count": 0,
                  "admitted_count": 0}
         _save_state(catalog, state)
+    else:
+        # mid-wave crash recovery: roll every table back to the last
+        # COMPLETE wave's snapshots before re-entering the loop
+        _rollback_incomplete_wave(spark, catalog, state["next_wave"])
 
     run = CrawlRun(catalog=catalog, cfg=cfg,
                    seen_count=state.get("seen_count", 0),
                    admitted_count=state.get("admitted_count", 0))
-    corpus = corpus_from_link_graph(corpus) if "body_md" in corpus.columns \
-        else corpus
+    # corpus shapes: raw HTML (default — the engine parses X3/X4/X5 itself)
+    # or pre-parsed link-graph rows (title/metas/body_md/out_links);
+    # fetcher mode always yields raw HTML
+    html_mode = fetcher is not None or "body_html" in corpus.columns
+    if fetcher is None and (html_mode or "body_md" in corpus.columns):
+        corpus = corpus_from_link_graph(corpus)
 
     wave = state["next_wave"]
     while not state["done"] and wave < cfg.max_waves:
@@ -190,8 +247,13 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
             spark, "seen",
             admitted.select("url_hash", "url", F.lit(wave).alias("wave")))
 
-        # S3 — fetch
-        fetched = fetch_from_corpus(admitted, corpus, wave).persist()
+        # S3 — fetch (+ the one-pass HTML parse stage when raw; X3/X4/X5)
+        fetched = fetcher(admitted, wave) if fetcher is not None \
+            else fetch_from_corpus(admitted, corpus, wave)
+        if html_mode:
+            from axora_spark.operators.html import parse_fetched_html
+            fetched = parse_fetched_html(fetched)
+        fetched = fetched.persist()
 
         # branch B — content pipeline
         if content_sink is not None:
@@ -232,13 +294,23 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
         sid_met = catalog.append(spark, "metrics", met)
 
         frontier_meta = catalog.snapshots("frontier")[-1]
-        _record_lineage(spark, catalog, wave, [
+        lineage_entries = [
             ("admitted", sid_adm, n_admitted, 0),
             ("seen", sid_seen, n_admitted, 0),
             ("frontier", sid_frontier, frontier_meta["n_rows"],
              frontier_meta["n_partitions"]),
             ("metrics", sid_met, 0, 0),
-        ])
+        ]
+        # content tables (written by the sink) join the rollback set so a
+        # mid-wave crash can't duplicate documents/chunks/vectors on resume
+        for t in ("documents", "chunks", "vectors"):
+            if catalog.table_exists(t):
+                cur = catalog.current_snapshot(t)
+                if cur is not None:
+                    snap = catalog.snapshots(t)[-1]
+                    lineage_entries.append(
+                        (t, cur, snap["n_rows"], snap["n_partitions"]))
+        _record_lineage(spark, catalog, wave, lineage_entries)
 
         run.seen_count += n_admitted
         run.admitted_count += n_admitted

@@ -55,10 +55,37 @@ SPAN = T.StructType([
     T.StructField("media_ref", T.StringType(), False),  # '' for text spans
     T.StructField("offset", T.IntegerType(), False),    # 0-based span order
 ])
+
+# P1 — ContentMetadata projection (crawler/text_extraction.go:24-41, mapped
+# at :66-79). fingerprint = sha256 hex of the span-concatenated text (the
+# reference delegates to trafilatura's fingerprint — documented divergence,
+# SEMANTICS.md); raw_metadata = every meta key → content (the reference's
+# map[string]interface{} stringified, SURVEY.md §1.2).
+METADATA = T.StructType([
+    T.StructField("title", T.StringType(), True),
+    T.StructField("author", T.StringType(), True),
+    T.StructField("description", T.StringType(), True),
+    T.StructField("site_name", T.StringType(), True),
+    T.StructField("published_date", T.TimestampType(), True),
+    T.StructField("modified_date", T.TimestampType(), True),
+    T.StructField("language", T.StringType(), True),
+    T.StructField("tags", T.ArrayType(T.StringType()), True),
+    T.StructField("categories", T.ArrayType(T.StringType()), True),
+    T.StructField("image_url", T.StringType(), True),
+    T.StructField("license", T.StringType(), True),
+    T.StructField("id", T.StringType(), True),
+    T.StructField("fingerprint", T.StringType(), True),
+    T.StructField("excerpt", T.StringType(), True),
+    T.StructField("comments_count", T.IntegerType(), True),
+    T.StructField("raw_metadata", T.MapType(T.StringType(), T.StringType()),
+                  True),
+])
+
 DOCUMENTS = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
     T.StructField("url", T.StringType(), True),
     T.StructField("spans", T.ArrayType(SPAN), False),
+    T.StructField("metadata", METADATA, True),  # null on pre-parsed corpora
 ])
 
 # D6 — chunks
@@ -104,4 +131,12 @@ LINK_GRAPH = T.StructType([
     T.StructField("metas", FETCHED["metas"].dataType, True),
     T.StructField("body_md", T.StringType(), True),
     T.StructField("out_links", T.ArrayType(T.StringType()), True),
+])
+
+# Raw-HTML fixture corpus (the default crawl input: the engine derives
+# title/metas/out_links/body_md itself via operators.html — X3/X4/X5)
+HTML_GRAPH = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("host", T.StringType(), False),
+    T.StructField("body_html", T.StringType(), True),
 ])

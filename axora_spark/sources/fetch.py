@@ -1,20 +1,100 @@
-"""S3 — fetch stage.
+"""S3 — fetch stage, two implementations with one contract:
 
-The reference fetches over HTTP through a Tor proxy pool
-(cmd/main.go:199-215, crawler/crawler.go:84-86). This sandbox is
-network-free, so the fetch is a deterministic join of the admitted wave
-against a fixture corpus keyed by canonical URL (SURVEY.md §2.1 S3).
-A real deployment swaps `fetch_from_corpus` for `fetch_http` (mapInPandas
-with an async HTTP client inside the batch) — the surrounding plan is
-identical: admitted wave in, FETCHED-schema rows out, no shuffle.
+* `fetch_http` — the REAL stage shape: mapInPandas over the admitted wave
+  with an injectable `transport(url) -> (status, body)` callable. The
+  default transport is a pooled urllib GET with the reference's UA/timeout
+  semantics (cmd/main.go:199-215: 5-min timeout, pooled connections;
+  crawler/crawler.go:84-86); tests inject a deterministic fixture
+  transport (this sandbox is network-free). Errors — timeout, non-200,
+  truncated body — produce rows with the status code and NULL body:
+  OnError only logs in the reference (crawler/crawler.go OnError), the URL
+  stays seen and yields no links/content. Narrow stage (no shuffle); at
+  scale concurrency = input partitions × in-batch thread pool.
+
+* `fetch_from_corpus` — deterministic join of the admitted wave against a
+  fixture corpus keyed by canonical URL (broadcast-sized fixtures only).
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from axora_spark.operators.urls import canonicalize_udf
+
+Transport = Callable[[str], tuple[int, str | None]]
+
+FETCHED_RAW = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("host", T.StringType(), True),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("wave", T.IntegerType(), False),
+    T.StructField("http_status", T.IntegerType(), False),
+    T.StructField("body_html", T.StringType(), True),
+])
+
+
+def default_transport(timeout_s: float = 300.0,
+                      user_agent: str = "axora-spark/1.0") -> Transport:
+    """Pooled urllib GET (module-level opener reused per executor worker).
+    5-min timeout mirrors cmd/main.go:211; any exception maps to status 0
+    (network error), non-2xx pass their code through, bodies decode
+    lossily (the parser is tolerant)."""
+    def _get(url: str) -> tuple[int, str | None]:
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(url,
+                                     headers={"User-Agent": user_agent})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return resp.status, resp.read().decode("utf-8", "replace")
+        except urllib.error.HTTPError as e:
+            return e.code, None
+        except Exception:
+            return 0, None
+    return _get
+
+
+def dict_transport(pages: dict[str, str]) -> Transport:
+    """Deterministic fixture transport: url → html; missing = 404."""
+    def _get(url: str) -> tuple[int, str | None]:
+        body = pages.get(url)
+        return (200, body) if body is not None else (404, None)
+    return _get
+
+
+def fetch_http(admitted: DataFrame, wave: int,
+               transport: Transport | None = None,
+               n_threads: int = 8) -> DataFrame:
+    """The real S3 stage: admitted(url, host, depth) → FETCHED_RAW rows via
+    mapInPandas. A thread pool inside each Arrow batch overlaps request
+    latency (the reference runs 3 async workers/domain; per-host pacing is
+    already enforced upstream by W1, so threads here only hide latency,
+    never violate politeness)."""
+    import pandas as pd  # noqa: F401
+
+    tp = transport or default_transport()
+
+    def _fetch(batches):
+        from concurrent.futures import ThreadPoolExecutor
+        for pdf in batches:
+            urls = list(pdf["url"])
+            if not urls:
+                continue
+            with ThreadPoolExecutor(max_workers=max(1, n_threads)) as ex:
+                results = list(ex.map(tp, urls))
+            out = pdf[["url", "host", "depth"]].copy()
+            out["wave"] = wave
+            out["http_status"] = [r[0] for r in results]
+            out["body_html"] = [r[1] if r[0] == 200 else None
+                                for r in results]
+            yield out
+
+    return (admitted.select("url", "host", "depth")
+            .mapInPandas(_fetch, schema=FETCHED_RAW))
 
 
 def corpus_from_link_graph(link_graph: DataFrame) -> DataFrame:
@@ -28,9 +108,16 @@ def fetch_from_corpus(admitted: DataFrame, corpus: DataFrame,
                       wave: int, broadcast_corpus: bool = True) -> DataFrame:
     """Left join admitted URLs to the corpus. Missing page = fetch error:
     the reference's OnError only logs (crawler/crawler.go OnError) — the
-    URL stays seen, produces no links/content. http_status encodes it."""
-    right = corpus.select(
-        "url", "title", "metas", "body_md", "out_links")
+    URL stays seen, produces no links/content. http_status encodes it.
+
+    Works for both corpus shapes: raw HTML (body_html — the default; the
+    parse stage runs downstream) and pre-parsed (title/metas/body_md/
+    out_links). broadcast_corpus=True fits the fixture corpora; at scale
+    the corpus side is replaced by fetch_http (no join at all)."""
+    body_col = "body_html" if "body_html" in corpus.columns else "body_md"
+    payload = [c for c in ("title", "metas", "body_md", "out_links",
+                           "body_html") if c in corpus.columns]
+    right = corpus.select("url", *payload)
     if broadcast_corpus:
         right = F.broadcast(right)
     return (admitted
@@ -38,5 +125,5 @@ def fetch_from_corpus(admitted: DataFrame, corpus: DataFrame,
             .join(right, on="url", how="left")
             .withColumn("wave", F.lit(wave))
             .withColumn("http_status",
-                        F.when(F.col("body_md").isNotNull(), F.lit(200))
+                        F.when(F.col(body_col).isNotNull(), F.lit(200))
                          .otherwise(F.lit(404))))

@@ -33,6 +33,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--priority", choices=["none", "url_score"],
                    default="none", help="frontier priority scoring mode")
+    p.add_argument("--input", choices=["html", "parsed"], default="html",
+                   help="corpus shape: raw HTML (engine parses X3/X4/X5 "
+                        "itself; default) or pre-parsed link-graph rows")
     p.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
                    default="bloom", help="sharded seen-filter kind")
     p.add_argument("--bloom-threshold", type=int, default=100_000)
@@ -51,7 +54,13 @@ def main(argv: list[str] | None = None) -> int:
                                  max_waves=args.waves,
                                  priority_mode=args.priority)
     catalog = SnapshotCatalog(args.warehouse)
-    corpus = spark.createDataFrame(pages, schemas.LINK_GRAPH)
+    if args.input == "html":
+        corpus = spark.createDataFrame(
+            [{"url": r["url"], "host": r["host"],
+              "body_html": datagen.render_page_html(r)} for r in pages],
+            schemas.HTML_GRAPH)
+    else:
+        corpus = spark.createDataFrame(pages, schemas.LINK_GRAPH)
     run = crawl.run_crawl(
         spark, catalog, cfg, corpus, resume=args.resume,
         content_sink=content.make_content_sink(cfg) if args.content else None,

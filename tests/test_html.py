@@ -1,0 +1,229 @@
+"""X3/X4/X5 upstream + P1 — the raw-HTML stage (operators/html.py).
+
+Unit truth tables on hand-written HTML (independent of the fixture
+renderer), the render↔parse round-trip that lets the crawl oracle keep
+consuming parsed fields, the Spark mapInPandas stage, and an end-to-end
+crawl-from-raw-HTML gate against the same oracle as the pre-parsed path."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from axora_spark import datagen, oracle, oracle_content, schemas
+from axora_spark.operators import html as H
+
+
+# ---------------------------------------------------------------------------
+# X3 — link extraction
+# ---------------------------------------------------------------------------
+
+PAGE = """<!DOCTYPE html>
+<html lang="de">
+<head>
+  <title> The &amp; Title </title>
+  <meta name="author" content="A. Writer">
+  <meta property="og:site_name" content="Example">
+  <meta name="keywords" content="alpha, beta ,gamma">
+  <meta property="article:published_time" content="2024-03-05T06:07:08Z">
+</head>
+<body>
+  <nav><a href="/nav1">n1</a><a href="/nav2">n2</a></nav>
+  <div id="content">
+    <h2>Section</h2>
+    <p>First paragraph with <a href="https://x.example/a">a link</a> and
+       <strong>bold</strong> text.</p>
+    <p>Second paragraph long enough to win the content score over the
+       sidebar; padding padding padding padding padding padding.</p>
+    <img alt="pic" src="/img/p.png">
+    <ul><li>one</li><li>two</li></ul>
+  </div>
+  <aside><p>ad ad ad</p><a href="/ad">buy</a></aside>
+  <footer><a href="/foot">f</a></footer>
+</body>
+</html>"""
+
+
+def test_links_in_dom_order_whole_document():
+    root = H.parse_dom(PAGE)
+    # OnHTML fires per anchor over the WHOLE dom (dom_handler.go:17-29):
+    # nav, in-content, aside and footer anchors all appear, in order
+    assert H.extract_links(root) == [
+        "/nav1", "/nav2", "https://x.example/a", "/ad", "/foot"]
+
+
+def test_duplicate_anchors_preserved():
+    root = H.parse_dom('<a href="/x">1</a><a href="/x">2</a>')
+    assert H.extract_links(root) == ["/x", "/x"]
+
+
+def test_title_and_metas():
+    root = H.parse_dom(PAGE)
+    assert H.extract_title(root) == "The & Title"  # entity unescaped
+    metas = H.extract_metas(root)
+    assert metas[0] == {"name": "author", "property": "",
+                        "content": "A. Writer"}
+    assert [m["property"] for m in metas] == ["", "og:site_name", "",
+                                              "article:published_time"]
+
+
+# ---------------------------------------------------------------------------
+# X4 — main-content selection
+# ---------------------------------------------------------------------------
+
+def test_main_content_skips_boilerplate():
+    root = H.parse_dom(PAGE)
+    main = H.extract_main(root)
+    md = H.html_to_markdown(main)
+    assert "Section" in md
+    assert "ad ad ad" not in md          # aside dropped
+    assert "n1" not in md                # nav dropped
+    assert md.startswith("## Section")
+
+
+def test_main_prefers_article_over_linkfarm():
+    page = """<body>
+      <div><a href="/1">x</a><a href="/2">y</a><a href="/3">z</a>
+        link farm link farm</div>
+      <article><p>Real article text that is clearly longer than the link
+        farm block and contains no anchors at all.</p></article>
+    </body>"""
+    main = H.extract_main(H.parse_dom(page))
+    assert main.tag == "article"
+
+
+def test_main_falls_back_to_body():
+    main = H.extract_main(H.parse_dom("<body><p>tiny</p></body>"))
+    assert main is not None and main.tag == "body"
+
+
+# ---------------------------------------------------------------------------
+# X5 — HTML → Markdown truth table
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("html,md", [
+    ("<h1>Top</h1>", "# Top"),
+    ("<h3>Deep</h3>", "### Deep"),
+    ("<p>a b</p><p>c</p>", "a b\n\nc"),
+    ('<p><img alt="f" src="/i.png"/></p>', "![f](/i.png)"),
+    ('<p>see <a href="/x">here</a>.</p>', "see [here](/x)."),
+    ("<p><strong>b</strong> <em>i</em> <code>c</code></p>", "**b** *i* `c`"),
+    ("<ul><li>a</li><li>b</li></ul>", "- a\n- b"),
+    ("<ol><li>a</li><li>b</li></ol>", "1. a\n2. b"),
+    ("<blockquote>quoted</blockquote>", "> quoted"),
+    ("<pre>x = 1\ny = 2</pre>", "```\nx = 1\ny = 2\n```"),
+    ("<hr>", "---"),
+    ("<p>a<br>b</p>", "a b"),  # br collapses inside the paragraph run
+    ("<div><p>a</p><p>b</p></div>", "a\n\nb"),
+    ("<p>one</p><script>no()</script><p>two</p>", "one\n\ntwo"),
+    # lenient soup: unclosed <p>, stray </b>
+    ("<p>first<p>second</b>", "first\n\nsecond"),
+])
+def test_html_to_markdown(html, md):
+    assert H.html_to_markdown(H.parse_dom(html)) == md
+
+
+# ---------------------------------------------------------------------------
+# P1 — metadata projection
+# ---------------------------------------------------------------------------
+
+def test_metadata_fields():
+    p = H.parse_page(PAGE)
+    m = p["metadata"]
+    assert m["title"] == "The & Title"      # no og:title → <title>
+    assert m["author"] == "A. Writer"
+    assert m["site_name"] == "Example"
+    assert m["language"] == "de"            # <html lang>
+    assert m["tags"] == ["alpha", "beta", "gamma"]
+    assert m["published_date"] == datetime(2024, 3, 5, 6, 7, 8)
+    assert m["modified_date"] is None
+    assert m["comments_count"] == 0
+    assert m["raw_metadata"]["keywords"] == "alpha, beta ,gamma"
+    assert len(m["fingerprint"]) == 64
+
+
+def test_metadata_og_title_wins():
+    m = H.parse_page('<head><title>T</title>'
+                     '<meta property="og:title" content="OG"></head>'
+                     )["metadata"]
+    assert m["title"] == "OG"
+
+
+# ---------------------------------------------------------------------------
+# Fixture round-trip: render_page_html is parse_page's inverse
+# ---------------------------------------------------------------------------
+
+def test_fixture_round_trip_exact():
+    rows = datagen.link_graph_rows(120, 42)
+    for r in rows:
+        p = H.parse_page(datagen.render_page_html(r))
+        assert p["title"] == r["title"], r["url"]
+        assert p["metas"] == r["metas"], r["url"]
+        assert p["out_links"] == r["out_links"], r["url"]
+        assert p["body_md"] == r["body_md"], r["url"]
+
+
+# ---------------------------------------------------------------------------
+# Spark stage + end-to-end crawl from raw HTML
+# ---------------------------------------------------------------------------
+
+def test_parse_fetched_html_stage(spark):
+    rows = datagen.link_graph_rows(12, 7)
+    raw = [(r["url"], r["host"], 1, 0, 200,
+            datagen.render_page_html(r)) for r in rows]
+    raw.append(("https://x.example/missing", "x.example", 1, 0, 404, None))
+    df = spark.createDataFrame(
+        raw, "url string, host string, depth int, wave int, "
+             "http_status int, body_html string")
+    got = {r.url: r for r in
+           H.parse_fetched_html(df).collect()}
+    for r in rows:
+        g = got[r["url"]]
+        assert g.title == r["title"]
+        assert list(g.out_links) == r["out_links"]
+        assert g.body_md == r["body_md"]
+        assert [m.asDict() for m in g.metas] == r["metas"]
+        assert g.metadata.site_name == r["host"]
+    miss = got["https://x.example/missing"]
+    assert miss.body_md is None and miss.metadata is None
+
+
+def test_crawl_from_raw_html_matches_oracle(spark, catalog):
+    """The headline gate: engine crawling RAW HTML == oracle consuming the
+    parsed link-graph fields. Any parse/extract/markdown drift breaks the
+    admitted sequence or the seen set."""
+    pages = datagen.link_graph_rows(n_pages=60, seed=42)
+    cfg = datagen.fixture_config(pages)
+    want = oracle.simulate(pages, cfg)
+
+    from axora_spark.plans import content, crawl
+    corpus = spark.createDataFrame(
+        [{"url": p["url"], "host": p["host"],
+          "body_html": datagen.render_page_html(p)} for p in pages],
+        schemas.HTML_GRAPH)
+    crawl.run_crawl(spark, catalog, cfg, corpus,
+                    content_sink=content.make_content_sink(cfg))
+
+    got_admitted = [
+        (r.wave, r.host, r.rank, r.url, r.depth)
+        for r in catalog.read(spark, "admitted")
+        .orderBy("wave", "host", "rank").collect()]
+    assert got_admitted == want.admitted
+    got_seen = {r.url for r in catalog.read(spark, "seen").collect()}
+    assert got_seen == want.seen
+
+    # branch B from raw HTML: span invariant + populated metadata struct
+    want_docs = oracle_content.expected_documents(pages, want.seen, cfg)
+    got_docs = {r.doc_id: r for r in
+                catalog.read(spark, "documents").collect()}
+    assert set(got_docs) == set(want_docs)
+    assert len(got_docs) >= 5
+    for doc_id, want_d in want_docs.items():
+        got_spans = [(s.kind, s.text, s.media_ref, s.offset)
+                     for s in got_docs[doc_id].spans]
+        assert got_spans == [(s["kind"], s["text"], s["media_ref"],
+                              s["offset"]) for s in want_d["spans"]], doc_id
+        md = got_docs[doc_id].metadata
+        assert md is not None and md.site_name and md.published_date
+        assert md.author.startswith("Writer ")

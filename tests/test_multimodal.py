@@ -25,10 +25,11 @@ def docs(spark):
              "offset": 1},
             {"kind": "media", "text": "", "media_ref": "https://cdn/y.svg",
              "offset": 2},
-        ]),
+        ], None),
         ("d2", "https://h/p2", [
-            {"kind": "text", "text": "only text", "media_ref": "", "offset": 0},
-        ]),
+            {"kind": "text", "text": "only text", "media_ref": "",
+             "offset": 0},
+        ], None),
     ]
     return spark.createDataFrame(rows, schemas.DOCUMENTS)
 

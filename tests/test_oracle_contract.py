@@ -38,7 +38,10 @@ def duck():
 
 
 def test_registry_complete():
-    assert set(ORACLES) == set(QUERIES)
+    # every oracle pairs a query; queries WITHOUT an oracle are the
+    # documented non-SQL-expressible set (driver runs rows-only checks)
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(QUERIES) - set(ORACLES) == {"wordpiece_tokens"}
     assert len(QUERIES) >= 20
 
 

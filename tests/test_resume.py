@@ -38,6 +38,40 @@ def test_resume_identical(spark, catalog, cfg, fixture_pages):
     seen = {r.url for r in catalog.read(spark, "seen").collect()}
     assert seen == want.seen
 
-    # lineage recorded one frontier snapshot per wave
-    lineage = catalog.read(spark, "lineage").filter("table = 'frontier'")
+    # lineage recorded one frontier snapshot per wave (+ the wave -1 row
+    # pinning the seeded frontier for mid-wave-0 crash recovery)
+    lineage = catalog.read(spark, "lineage") \
+        .filter("table = 'frontier' AND wave >= 0")
     assert lineage.count() == want.waves_run
+    assert catalog.read(spark, "lineage") \
+        .filter("table = 'frontier' AND wave = -1").count() == 1
+
+
+def test_resume_mid_wave_crash(spark, catalog, cfg, fixture_pages):
+    """A kill BETWEEN a wave's first append and its state save must not
+    duplicate rows on resume: partial commits of the crashed wave are
+    rolled back to the last lineage snapshot (ADVICE r1 #1)."""
+    corpus = spark.createDataFrame(fixture_pages, schemas.LINK_GRAPH)
+    want = oracle.simulate(fixture_pages, cfg)
+
+    crawl.run_crawl(spark, catalog, cfg, corpus, stop_after_wave=1)
+
+    # simulate the mid-wave-2 crash: admitted/seen appends committed,
+    # _state.json still says next_wave=2
+    partial_adm = spark.createDataFrame(
+        [(2, "hot.example.org", 1, "https://hot.example.org/partial", 2)],
+        schemas.ADMITTED)
+    catalog.append(spark, "admitted", partial_adm)
+    partial_seen = spark.createDataFrame(
+        [(123456789, "https://hot.example.org/partial", 2)], schemas.SEEN)
+    catalog.append(spark, "seen", partial_seen)
+
+    crawl.run_crawl(spark, catalog, cfg, corpus, resume=True)
+
+    got = [(r.wave, r.host, r.rank, r.url, r.depth)
+           for r in catalog.read(spark, "admitted")
+           .orderBy("wave", "host", "rank").collect()]
+    assert got == want.admitted
+    seen = {r.url for r in catalog.read(spark, "seen").collect()}
+    assert seen == want.seen
+    assert not any("partial" in u for u in seen)

@@ -69,6 +69,9 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
+            if name not in ORACLES:
+                print(f"ok   {name}: {len(spdf)} rows (rows-only, no oracle)")
+                continue
             dpdf = con.sql(ORACLES[name]).df()
             if sorted(spdf.columns) != sorted(dpdf.columns):
                 failures.append((name, "cols"))
