@@ -95,9 +95,31 @@ def _is_cjk(cp: int) -> bool:
     return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
 
 
+# ASCII fast path: for pure-ASCII text (the overwhelming majority of a web
+# crawl) the per-char unicodedata classification collapses to a translate
+# + one regex. BERT's punct set covers ALL printable non-alnum ASCII
+# (ranges 33-47, 58-64, 91-96, 123-126), control chars drop, whitespace
+# splits — equivalence with the general path is property-tested.
+_ASCII_DROP = {c: None for c in range(32) if chr(c) not in "\t\n\r"}
+_ASCII_DROP[127] = None
+_ASCII_TRANS = str.maketrans(_ASCII_DROP)
+_ASCII_TOK_RE = __import__("re").compile(
+    r"[^\s!-/:-@\[-`{-~]+|[!-/:-@\[-`{-~]")
+
+
+def _pre_tokenize_ascii(text: str) -> list[str]:
+    return _ASCII_TOK_RE.findall(text.translate(_ASCII_TRANS).lower())
+
+
 def pre_tokenize(text: str) -> list[str]:
     """clean_text → CJK padding → lowercase+strip-accents → whitespace
     split → punctuation isolation. Output: the word units WordPiece sees."""
+    if text.isascii():
+        return _pre_tokenize_ascii(text)
+    return _pre_tokenize_general(text)
+
+
+def _pre_tokenize_general(text: str) -> list[str]:
     cleaned = []
     for ch in text:
         cp = ord(ch)

@@ -77,7 +77,9 @@ def wordpiece_count_udf(tokenizer: str = "wordpiece"):
         fn = resolve_token_counter(tokenizer)
         return pd.Series([fn(t or "") for t in texts],
                          index=texts.index, dtype="int32")
-    return _udf
+    # pure, but marked nondeterministic so the C4 gate's filter pushdown
+    # can't substitute (and re-run) the tokenizer per predicate
+    return _udf.asNondeterministic()
 
 
 def token_count_expr(text: Column, tokenizer: str) -> Column:
@@ -205,12 +207,14 @@ def chunk_text_py(text: str, method: str) -> list[str]:
 # ---------------- Spark side ----------------
 
 def chunks_udf(method: str):
-    """Vectorized splitter UDF: text → array<string> (pre-gate chunks)."""
+    """Vectorized splitter UDF: text → array<string> (pre-gate chunks).
+    asNondeterministic (it is pure): prevents filter-pushdown substitution
+    from re-running the splitter per referencing predicate."""
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _udf(texts: pd.Series) -> pd.Series:
         return pd.Series([chunk_text_py(t or "", method) for t in texts],
                          index=texts.index)
-    return _udf
+    return _udf.asNondeterministic()
 
 
 def chunk_gate(token_count: Column, min_tokens: int = 75,

@@ -70,12 +70,18 @@ def md_to_spans(body_md: str, base_url: str = "") -> list[dict]:
 
 
 def spans_udf() -> Column:
-    """Factory for the vectorized spans UDF (needs an active session)."""
+    """Factory for the vectorized spans UDF (needs an active session).
+
+    Marked nondeterministic ON PURPOSE (it is pure): it stops the
+    optimizer substituting the UDF into pushed-down filters (the native
+    quality gate over spans_to_text(spans) would otherwise re-evaluate the
+    whole markdown→spans conversion once per referencing predicate —
+    measured 2× plan nodes)."""
     @F.pandas_udf(T.ArrayType(SPAN))
     def _udf(body_md: pd.Series, url: pd.Series) -> pd.Series:
         out = [md_to_spans(b or "", u or "") for b, u in zip(body_md, url)]
         return pd.Series(out, index=body_md.index)
-    return _udf
+    return _udf.asNondeterministic()
 
 
 def spans_to_text(spans_col: Column) -> Column:

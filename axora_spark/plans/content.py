@@ -80,10 +80,15 @@ def chunks_from_documents(docs: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """C1–C4 over the documents' concatenated text spans."""
     text_col = F.col("_text") if "_text" in docs.columns \
         else spans_to_text(F.col("spans"))
+    # posexplode_OUTER: a plain generate would get a size>0 pre-filter
+    # whose expression re-evaluates the chunker UDF (each doc chunked
+    # twice); outer + post-filter keeps one ArrowEvalPython
     exploded = (docs
                 .withColumn("_chunks", chunks_udf(cfg.chunk_method)(text_col))
                 .select("doc_id", "url",
-                        F.posexplode("_chunks").alias("chunk_index", "text"))
+                        F.posexplode_outer("_chunks")
+                        .alias("chunk_index", "text"))
+                .filter(F.col("text").isNotNull())
                 .withColumn("text", F.trim(F.col("text")))
                 .filter(F.col("text") != ""))
     return (exploded

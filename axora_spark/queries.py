@@ -225,21 +225,33 @@ ELSE [] END
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash: sig[i] = min over shingles of sha256(shingle||'#'||i);
-    exploded to (doc_id, perm, minhash) rows. min over hex strings is a
-    valid uniform minhash (lexicographic order on fixed-width hex)."""
+    """MinHash: ONE sha256 per shingle; permutation i = the i-th disjoint
+    8-hex-char slice of that digest (8 × 32-bit values — the standard
+    one-hash minhash family; min over fixed-width hex is a valid uniform
+    minhash). Exploded to (doc_id, perm, minhash) rows.
+
+    Round 1 hashed every shingle 8× (sha256(shingle∥'#'∥i) per
+    permutation) — 16.9s at sf0.1 under the honest noop-sink bench; the
+    digest-slice family needs one hash. The digest array is materialized
+    in its OWN projection so the 8 slice-mins reference a column attribute
+    (CollapseProject keeps non-cheap multi-use expressions un-inlined —
+    the round-1 shingle re-evaluation lesson, see _shingles_col)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
     sh = docs.select("doc_id", _shingles_col(F.col("text")).alias("sh")) \
              .filter(F.size("sh") > 0)
-    sig = sh.select(
+    hashed = sh.select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-            lambda i: F.array_min(
-                F.transform(F.col("sh"),
-                            lambda s: F.sha2(F.concat(s, F.lit("#"),
-                                                      i.cast("string")), 256)))
-        ).alias("sig"))
+        F.transform(F.col("sh"), lambda s: F.sha2(s, 256)).alias("hs"))
+    def _slice_min(lo: int) -> Column:
+        # closure factory, NOT a lambda default arg — a 2-arg transform
+        # lambda is the (element, index) overload
+        return F.array_min(F.transform(
+            F.col("hs"), lambda h: F.substring(h, lo, 8)))
+
+    sig = hashed.select(
+        "doc_id",
+        F.array(*[_slice_min(i * 8 + 1)
+                  for i in range(N_MINHASH)]).alias("sig"))
     return sig.select("doc_id",
                       F.posexplode("sig").alias("perm", "minhash"))
 
@@ -248,12 +260,16 @@ SQL_MINHASH_SIGNATURE = f"""
 WITH s AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
 ),
+h AS (
+  SELECT doc_id, list_transform(sh, x -> sha256(x)) AS hs
+  FROM s WHERE len(sh) > 0
+),
 sig AS (
   SELECT doc_id,
          list_transform(range(0, {N_MINHASH}),
-           i -> list_min(list_transform(sh,
-                  x -> sha256(x || '#' || i::varchar)))) AS sig
-  FROM s WHERE len(sh) > 0
+           i -> list_min(list_transform(hs,
+                  x -> substr(x, (i*8)::int + 1, 8)))) AS sig
+  FROM h
 )
 SELECT doc_id, u.i - 1 AS perm, sig[u.i] AS minhash
 FROM sig, (SELECT unnest(range(1, {N_MINHASH} + 1)) AS i) u
@@ -279,12 +295,16 @@ SQL_MINHASH_NEAR_DUP = f"""
 WITH s AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
 ),
+h AS (
+  SELECT doc_id, list_transform(sh, x -> sha256(x)) AS hs
+  FROM s WHERE len(sh) > 0
+),
 sig AS (
   SELECT doc_id,
          list_transform(range(0, {N_MINHASH}),
-           i -> list_min(list_transform(sh,
-                  x -> sha256(x || '#' || i::varchar)))) AS sig
-  FROM s WHERE len(sh) > 0
+           i -> list_min(list_transform(hs,
+                  x -> substr(x, (i*8)::int + 1, 8)))) AS sig
+  FROM h
 ),
 bands AS (
   SELECT doc_id, u.b AS band,
@@ -765,7 +785,10 @@ def q_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("text"), F.lit("\n\n![img](https://cdn.example.org/"),
                   F.col("doc_id"), F.lit(".png)"))
     spans = docs.select("doc_id", spans_udf()(md, F.lit("")).alias("spans"))
-    s = spans.select("doc_id", F.explode("spans").alias("s"))
+    # explode_outer: avoids the optimizer's size>0 pre-filter that would
+    # re-evaluate the spans UDF (same trap as q_html_links)
+    s = (spans.select("doc_id", F.explode_outer("spans").alias("s"))
+         .filter(F.col("s").isNotNull()))
     return s.select("doc_id", F.col("s.kind").alias("kind"),
                     F.col("s.text").alias("span_text"),
                     F.col("s.media_ref").alias("media_ref"),
@@ -853,8 +876,15 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", spread=True)
     parsed = docs.select("doc_id",
                          _html_parse_udf()(_synth_html_col()).alias("p"))
-    return parsed.select(
-        "doc_id", F.posexplode("p.links").alias("link_pos", "href"))
+    # posexplode_OUTER: plain posexplode makes the optimizer push a
+    # `size(links)>0` pre-filter whose expression re-evaluates the parse
+    # UDF — every page parsed twice (measured 10.5s vs 0.25s at sf0.1).
+    # Outer generate keeps one ArrowEvalPython; the null row (empty links)
+    # is dropped after the generate instead.
+    return (parsed
+            .select("doc_id",
+                    F.posexplode_outer("p.links").alias("link_pos", "href"))
+            .filter(F.col("href").isNotNull()))
 
 
 SQL_HTML_LINKS = """

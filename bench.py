@@ -93,28 +93,36 @@ def main():
         return s.astype("int32")
 
     spark.range(10_000).repartition(int(cpus)) \
-        .select(_warm(F.col("id").cast("int"))).count()
+        .select(_warm(F.col("id").cast("int"))) \
+        .write.mode("overwrite").format("noop").save()
 
     from axora_spark.queries import q_minhash_near_dup, q_minhash_signature
 
     sig = q_minhash_signature(spark, sf_dir).persist()
 
-    def run(name):
+    def df_for(name):
         if name == "minhash_signature":
-            return sig.count()              # materializes the persisted sig
+            return sig                      # materializes the persisted sig
         if name == "minhash_near_dup":
-            return q_minhash_near_dup(spark, sf_dir, sig=sig).count()
-        return QUERIES[name](spark, sf_dir).count()
+            return q_minhash_near_dup(spark, sf_dir, sig=sig)
+        return QUERIES[name](spark, sf_dir)
+
+    def materialize(df):
+        # noop sink: evaluates EVERY column. count() would let Catalyst
+        # prune whole projections (a UDF-only query can "finish" without
+        # ever running its UDF), silently under-measuring.
+        df.write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        df = df_for(name)
         t0 = time.time()
-        n = run(name)
+        materialize(df)
         dt = time.time() - t0
         per_query[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
     sig.unpersist()
 
     crawl = crawl_wave_bench(spark)

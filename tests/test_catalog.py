@@ -47,3 +47,41 @@ def test_merge_insert_if_absent(spark, catalog):
     # existing row untouched
     vals = {r.k: r.v for r in catalog.read(spark, "t").collect()}
     assert vals[2] == "b"
+
+
+def test_merge_duplicate_keys_collapse_deterministically(spark, catalog):
+    """Same-batch duplicate keys pick the struct-min of the orderable
+    non-key columns, reproducibly across replays (ADVICE r1 #5 — the old
+    dropDuplicates kept an arbitrary row)."""
+    catalog.create_table("t", SCHEMA)
+    batch = [(7, "zeta"), (7, "alpha"), (7, "midd")]
+    for attempt in range(3):
+        cat2 = type(catalog)(catalog.root + f"_rep{attempt}")
+        cat2.create_table("t", SCHEMA)
+        import random
+        rng = random.Random(attempt)
+        shuffled = batch[:]
+        rng.shuffle(shuffled)
+        cat2.merge_insert_if_absent(
+            spark, "t", spark.createDataFrame(shuffled, SCHEMA), "k")
+        vals = {r.k: r.v for r in cat2.read(spark, "t").collect()}
+        assert vals == {7: "alpha"}, attempt
+        cat2.drop("t")
+
+
+def test_merge_with_unorderable_metadata_struct(spark, catalog):
+    """documents carry a map-bearing metadata struct (unorderable);
+    merge must still work, collapsing on the orderable columns."""
+    from axora_spark import schemas
+    catalog.create_table("docs", schemas.DOCUMENTS)
+    span = {"kind": "text", "text": "x", "media_ref": "", "offset": 0}
+    meta = {"title": "T", "raw_metadata": {"a": "1"}}
+    rows = [("d1", "https://h/1", [span], meta),
+            ("d1", "https://h/0", [span], meta)]
+    catalog.merge_insert_if_absent(
+        spark, "docs", spark.createDataFrame(rows, schemas.DOCUMENTS),
+        key="doc_id")
+    got = catalog.read(spark, "docs").collect()
+    assert len(got) == 1
+    assert got[0].url == "https://h/0"  # min over orderable url
+    assert got[0].metadata.title == "T"

@@ -119,3 +119,19 @@ def test_udf_matches_pure_python(spark):
              .collect()
     for r in rows:
         assert r.tc == wp.count_tokens(r.text), repr(r.text)
+
+
+def test_ascii_fast_path_equals_general():
+    """The ASCII pre-tokenize fast path must match the general
+    unicodedata-driven path exactly."""
+    import random
+    import string
+    rng = random.Random(7)
+    pool = string.ascii_letters + string.digits + string.punctuation \
+        + " \t\n\r" + "\x00\x07\x7f"
+    cases = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 60)))
+             for _ in range(300)]
+    cases += ["Hello, World!", "a\x00b", "x\ty\nz", "...", "", "A-B_c.d"]
+    for s in cases:
+        assert wp._pre_tokenize_ascii(s) == wp._pre_tokenize_general(s), \
+            repr(s)
