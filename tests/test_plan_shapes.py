@@ -1,0 +1,117 @@
+"""Physical-plan regression gates: the optimizations this engine's 100-TB
+story depends on, asserted against the actual plans so they can't silently
+regress (VERDICT r1: 'explain the plan and iterate until it's the plan
+you'd want').
+
+Each test pins a property that was once broken and fixed:
+  * simhash evaluated sha256 16× per row (now once);
+  * explode-over-UDF re-ran the parser per the optimizer's size>0
+    pre-filter (now outer-generate + post-filter);
+  * filter pushdown substituted the spans/chunker UDFs into predicates
+    (now asNondeterministic blocks it);
+  * cosine top-k funnelled all rows through one window task (now
+    TakeOrderedAndProject);
+  * the seen anti-join must stay SHUFFLE_HASH (driver-serial broadcast
+    build capped N→4N scaling in round 1);
+  * dimension joins must broadcast; scans must prune columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_simhash_single_hash_pass(spark):
+    from axora_spark.queries import q_simhash
+    plan = _optimized(q_simhash(spark, SF))
+    assert plan.count("sha2") == 1
+
+
+def test_html_links_single_parse(spark):
+    from axora_spark.queries import q_html_links
+    plan = _physical(q_html_links(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_interleaved_spans_single_udf(spark):
+    from axora_spark.queries import q_interleaved_spans
+    plan = _physical(q_interleaved_spans(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_cosine_topk_take_ordered(spark):
+    from axora_spark.queries import q_cosine_topk
+    plan = _physical(q_cosine_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_broadcast_join_agg_broadcasts_dims(spark):
+    from axora_spark.queries import q_broadcast_join_agg
+    plan = _physical(q_broadcast_join_agg(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_seen_antijoin_is_shuffle_hash(spark):
+    from axora_spark.operators.frontier import anti_join_seen
+    from axora_spark import datagen
+    frontier = datagen.big_frontier(spark, 1000)
+    seen = datagen.big_frontier(spark, 500).select("url_hash")
+    plan = _physical(anti_join_seen(frontier, seen))
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_scan_prunes_columns(spark):
+    """A 2-column projection must not read the whole documents schema."""
+    from pyspark.sql import functions as F
+    df = (spark.read.parquet(f"{SF}/documents.parquet")
+          .select("doc_id", F.length("text").alias("n")))
+    plan = _physical(df)
+    i = plan.index("ReadSchema")
+    read = plan[i:i + 200]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
+
+
+def test_tpch_q1_pushes_filter(spark):
+    from axora_spark.queries import q_tpch_q1
+    plan = _physical(q_tpch_q1(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "PushedFilters: [" in plan and "l_shipdate" in plan
+
+
+def test_documents_pipeline_single_spans_eval(spark):
+    """The content pipeline parses/spans each page exactly once: one
+    MapInPandas (HTML parse) + one ArrowEvalPython per distinct UDF
+    (meta gate, spans) — no pushdown duplication."""
+    from axora_spark import datagen, schemas
+    from axora_spark.plans import content
+    from axora_spark.operators.html import parse_fetched_html
+    from axora_spark.sources.fetch import (corpus_from_link_graph,
+                                           fetch_from_corpus)
+    from pyspark.sql import functions as F
+
+    pages = datagen.html_graph_rows(12, 7)
+    cfg = datagen.fixture_config(datagen.link_graph_rows(12, 7))
+    corpus = corpus_from_link_graph(
+        spark.createDataFrame(pages, schemas.HTML_GRAPH))
+    adm = (corpus.select("url", "host")
+           .withColumn("depth", F.lit(1)))
+    fetched = parse_fetched_html(fetch_from_corpus(adm, corpus, 0))
+    docs = content.documents_from_fetched(fetched, cfg)
+    plan = _physical(docs)
+    assert plan.count("MapInPandas") == 1
+    # spans UDF appears exactly once (it takes body_md + url)
+    assert plan.count("_udf(body_md") == 1
