@@ -687,6 +687,81 @@ def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ((tc >= 75) & (tc <= 480)).alias("in_window"))
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data text normalization (fully native, codegen'd):
+    control chars stripped, whitespace runs collapsed, trimmed,
+    lowercased; emits cleaned text + how many chars the cleanup removed.
+    At 100 TB this is a pure map stage — no shuffle, whole-stage
+    codegen, filter-pushdown-friendly."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    cleaned = F.lower(F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[\\x00-\\x08\\x0b-\\x1f\\x7f]", ""),
+        r"\s+", " ")))
+    return docs.select(
+        "doc_id", cleaned.alias("clean_text"),
+        (F.length("text") - F.length(cleaned)).alias("removed_chars"))
+
+
+SQL_TEXT_CLEAN = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(
+         regexp_replace(text, '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+         '\s+', ' ', 'g'))) AS clean_text,
+       length(text) - length(lower(trim(regexp_replace(
+         regexp_replace(text, '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+         '\s+', ' ', 'g')))) AS removed_chars
+FROM documents
+"""
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: emails and phone-like digit runs →
+    fixed tokens; counts per doc ride along (the audit metric a redaction
+    pipeline reports). Synthesizes the PII deterministically from row
+    columns so the masking actually fires on the fixture corpus. Native
+    regexp_replace — map-only at scale."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    with_pii = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example.com or +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    masked = F.regexp_replace(
+        F.regexp_replace(with_pii, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    n_emails = F.size(F.split(with_pii, _EMAIL_RE, -1)) - 1
+    n_phones = F.size(F.split(
+        F.regexp_replace(with_pii, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, -1)) - 1
+    return docs.select("doc_id", masked.alias("masked_text"),
+                       n_emails.alias("n_emails"),
+                       n_phones.alias("n_phones"))
+
+
+SQL_PII_MASK = rf"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id
+              || '@mail.example.com or +1 555-01'
+              || lpad((doc_id % 100)::varchar, 2, '0') || '-'
+              || lpad((doc_id % 10000)::varchar, 4, '0') AS with_pii
+  FROM documents),
+e AS (
+  SELECT doc_id, with_pii,
+         regexp_replace(with_pii, '{_EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM p)
+SELECT doc_id,
+       regexp_replace(no_email, '{_PHONE_RE}', '<PHONE>', 'g')
+         AS masked_text,
+       len(string_split_regex(with_pii, '{_EMAIL_RE}')) - 1 AS n_emails,
+       len(string_split_regex(no_email, '{_PHONE_RE}')) - 1 AS n_phones
+FROM e
+"""
+
+
 _LANG_MARKERS = {
     "en": ("the", "and", "of"),
     "de": ("der", "und", "die"),
@@ -1100,6 +1175,8 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "wordpiece_tokens": q_wordpiece_tokens,
+    "text_clean": q_text_clean,
+    "pii_mask": q_pii_mask,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "sha256_hash": q_sha256,
@@ -1130,6 +1207,8 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "quality_scores": SQL_QUALITY_SCORES,
     "token_counts": SQL_TOKEN_COUNTS,
+    "text_clean": SQL_TEXT_CLEAN,
+    "pii_mask": SQL_PII_MASK,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "sha256_hash": SQL_SHA256,
