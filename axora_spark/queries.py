@@ -687,6 +687,59 @@ def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ((tc >= 75) & (tc <= 480)).alias("in_window"))
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots gating (north_rule target mode) through the REAL operator
+    (operators/robots.py: parse → broadcast → vectorized longest-prefix
+    filter) over synthesized per-doc URLs; the oracle states RFC-9309
+    longest-match semantics declaratively. Hosts: a = Disallow /private
+    with an Allow /private/ok carve-out; b = fully disallowed; c = no
+    rules."""
+    from axora_spark.operators.robots import parse_robots, robots_filter
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    host = (F.when(F.col("doc_id") % 3 == 0, F.lit("a.example.org"))
+             .when(F.col("doc_id") % 3 == 1, F.lit("b.example.org"))
+             .otherwise(F.lit("c.example.org")))
+    path = (F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("/private/doc/"), F.col("doc_id")))
+             .when(F.col("doc_id") % 4 == 1,
+                   F.concat(F.lit("/private/ok/"), F.col("doc_id")))
+             .when(F.col("doc_id") % 4 == 2,
+                   F.concat(F.lit("/post/"), F.col("doc_id")))
+             .otherwise(F.lit("/")))
+    df = docs.select("doc_id", host.alias("host"),
+                     F.concat(F.lit("https://"), host, path).alias("url"))
+    rules = {
+        "a.example.org": parse_robots(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        "b.example.org": parse_robots("User-agent: *\nDisallow: /\n"),
+    }
+    return robots_filter(df, rules).select("doc_id", "host", "url")
+
+
+SQL_ROBOTS_GATE = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'a.example.org'
+                          WHEN 1 THEN 'b.example.org'
+                          ELSE 'c.example.org' END) AS host,
+         (CASE doc_id % 4 WHEN 0 THEN '/private/doc/' || doc_id
+                          WHEN 1 THEN '/private/ok/' || doc_id
+                          WHEN 2 THEN '/post/' || doc_id
+                          ELSE '/' END) AS path
+  FROM documents)
+SELECT doc_id, host, 'https://' || host || path AS url
+FROM u
+WHERE CASE host
+  WHEN 'c.example.org' THEN TRUE                         -- no rules
+  WHEN 'b.example.org' THEN FALSE                        -- Disallow /
+  ELSE  -- a: longest prefix wins, tie -> allow
+    CASE WHEN path LIKE '/private/ok%' THEN TRUE         -- Allow len 11
+         WHEN path LIKE '/private%' THEN FALSE           -- Disallow len 8
+         ELSE TRUE END
+  END
+"""
+
+
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data text normalization (fully native, codegen'd):
     control chars stripped, whitespace runs collapsed, trimmed,
@@ -1175,6 +1228,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "wordpiece_tokens": q_wordpiece_tokens,
+    "robots_gate": q_robots_gate,
     "text_clean": q_text_clean,
     "pii_mask": q_pii_mask,
     "lang_id": q_lang_id,
@@ -1207,6 +1261,7 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "quality_scores": SQL_QUALITY_SCORES,
     "token_counts": SQL_TOKEN_COUNTS,
+    "robots_gate": SQL_ROBOTS_GATE,
     "text_clean": SQL_TEXT_CLEAN,
     "pii_mask": SQL_PII_MASK,
     "lang_id": SQL_LANG_ID,
