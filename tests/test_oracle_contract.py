@@ -22,7 +22,8 @@ from check_oracle import normalize_pdf  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 SUBSET = ["frontier_filters", "politeness_rank", "quality_scores",
           "token_counts", "dedup_exact", "minhash_near_dup",
-          "interleaved_spans", "cosine_topk", "tpch_q1", "sessionize"]
+          "interleaved_spans", "cosine_topk", "tpch_q1", "sessionize",
+          "html_main_md", "ngram_jaccard", "robots_gate", "pii_mask"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -42,7 +43,7 @@ def test_registry_complete():
     # documented non-SQL-expressible set (driver runs rows-only checks)
     assert set(ORACLES) <= set(QUERIES)
     assert set(QUERIES) - set(ORACLES) == {"wordpiece_tokens"}
-    assert len(QUERIES) >= 20
+    assert len(QUERIES) >= 30
 
 
 @pytest.mark.parametrize("name", SUBSET)
