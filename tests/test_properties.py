@@ -99,3 +99,53 @@ def test_bloom_no_false_negatives_prop(keys):
     b = Bloom.sized(len(arr))
     b.add_many(arr)
     assert b.contains_many(arr).all()
+
+
+# ---- raw-HTML stage robustness (round 2: operators/html.py) ----
+
+_html_st = st.one_of(
+    st.text(max_size=200),  # arbitrary soup, incl. unbalanced angle brackets
+    st.builds(
+        lambda tag, attr, txt, tail:
+            f"<{tag} href=\"{attr}\"><p>{txt}</p></{tag}>{tail}",
+        st.sampled_from(["a", "div", "p", "main", "nav", "x-custom"]),
+        st.text(alphabet="ab/:._-", max_size=20),
+        st.text(max_size=40),
+        st.text(max_size=30)),
+)
+
+
+@given(_html_st)
+@settings(max_examples=300, deadline=None)
+def test_parse_page_never_crashes_and_shapes_hold(html):
+    from axora_spark.operators.html import parse_page
+    p = parse_page(html)
+    assert isinstance(p["out_links"], list)
+    assert all(isinstance(x, str) for x in p["out_links"])
+    assert isinstance(p["body_md"], str)
+    assert isinstance(p["title"], str)
+    m = p["metadata"]
+    assert set(m) >= {"title", "author", "fingerprint", "raw_metadata"}
+    assert len(m["fingerprint"]) == 64
+
+
+@given(st.lists(st.text(alphabet="ab/:._-", min_size=1, max_size=20),
+                max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_links_roundtrip_through_anchors(hrefs):
+    from axora_spark.operators.html import escape, parse_dom, extract_links
+    html = "<body>" + "".join(
+        f'<a href="{escape(h)}">t</a>' for h in hrefs) + "</body>"
+    assert extract_links(parse_dom(html)) == hrefs
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_escaped_text_roundtrips_through_paragraph(txt):
+    """escape -> <p> -> parse -> markdown returns the whitespace-collapsed
+    text (the html_main_md oracle's core assumption)."""
+    import re
+    from axora_spark.operators.html import (escape, html_to_markdown,
+                                            parse_dom)
+    md = html_to_markdown(parse_dom(f"<body><p>{escape(txt)}</p></body>"))
+    assert md == re.sub(r"\s+", " ", txt).strip()
