@@ -1,0 +1,82 @@
+"""operators/neardup.py unit gates: blocking recall on constructed
+near-dups, leader-assignment shape, and the bucket/block caps that keep
+degenerate keys from going quadratic at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from axora_spark.operators import neardup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),            # ~0.91 Jaccard vs 1
+        (3, base.replace("alpha", "ALPHAX")),  # ~0.82 vs 1
+        (4, "totally different words entirely unrelated content here"),
+        (5, base),                        # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_leader_dedup_finds_constructed_dups(spark, docs):
+    got = {r.doc_id: (r.dup_of, r.jaccard) for r in
+           neardup.ngram_jaccard_dedup(docs, threshold=0.8).collect()}
+    assert got[5][0] == 1 and got[5][1] == 1.0     # exact dup → leader 1
+    assert 2 in got and got[2][0] == 1
+    assert 4 not in got                             # unrelated never pairs
+    assert 1 not in got                             # the leader itself
+
+
+def test_pairs_variant_and_block_cap(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in
+             neardup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert (1, 5) in pairs and (2, 5) in pairs
+    # max_block=1: every block holds >1 doc for the dup cluster → all
+    # candidate blocks dropped → no pairs survive (the cap is real)
+    capped = neardup.ngram_jaccard_pairs(docs, threshold=0.8,
+                                         max_block=1).collect()
+    assert capped == []
+
+
+def test_lsh_candidate_bucket_cap(spark):
+    rows = [(i, 0, "samekey") for i in range(6)] + [(10, 0, "solo"),
+                                                    (11, 0, "solo")]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band int, band_key string")
+    uncapped = neardup.lsh_candidate_pairs(bands).count()
+    assert uncapped == 15 + 1          # C(6,2) + the solo pair
+    capped = neardup.lsh_candidate_pairs(bands, max_bucket=2).collect()
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(10, 11)}
+
+
+def test_embedding_near_dup_cap_and_recall(spark):
+    # two identical vectors (cos 1.0) + noise vectors in other buckets
+    v = [1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0] + [0.1] * 8
+    rows = [(1, v), (2, v),
+            (3, [-x for x in v]), (4, [0.5] * 16)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from axora_spark.operators.embed import cosine_similarity
+    got = neardup.embedding_near_dup_pairs(
+        emb, cosine_similarity, threshold=0.99, bits=8, tables=2).collect()
+    assert {(r.vec_a, r.vec_b) for r in got} == {(1, 2)}
+    assert abs(got[0].cos_sim - 1.0) < 1e-6
+    # cap of 1 drops every bucket that could pair
+    capped = neardup.embedding_near_dup_pairs(
+        emb, cosine_similarity, threshold=0.99, bits=8, tables=2,
+        max_bucket=1).collect()
+    assert capped == []
+
+
+def test_block_keys_deterministic(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    k1 = df.select(neardup.block_keys_minword(
+        neardup.words_col(F.col("text"))).alias("k")).collect()[0].k
+    k2 = df.select(neardup.block_keys_minword(
+        neardup.words_col(F.col("text"))).alias("k")).collect()[0].k
+    assert list(k1) == list(k2)
+    assert len(k1) == 2 and k1[0] != k1[1]  # distinct permutations
