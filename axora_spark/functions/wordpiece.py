@@ -46,9 +46,20 @@ _SEARCH_PATHS = (
 )
 
 
+def _spark_files_path() -> str:
+    """tokenizer.json shipped via `spark-submit --files` (SparkFiles), for
+    real clusters where the reference checkout doesn't exist on executors."""
+    try:
+        from pyspark import SparkFiles
+        p = SparkFiles.get("tokenizer.json")
+        return p if p and os.path.exists(p) else ""
+    except Exception:
+        return ""
+
+
 @lru_cache(maxsize=1)
 def _vocab() -> frozenset | None:
-    for p in _SEARCH_PATHS:
+    for p in (*_SEARCH_PATHS, _spark_files_path()):
         if p and os.path.exists(p):
             with open(p, encoding="utf-8") as f:
                 tk = json.load(f)

@@ -71,10 +71,28 @@ def resolve_token_counter(tokenizer: str):
 
 def wordpiece_count_udf(tokenizer: str = "wordpiece"):
     """Vectorized X10: real wordpiece counts (Arrow batches; the vocab set
-    loads once per executor inside the UDF)."""
+    loads once per executor inside the UDF).
+
+    The executor NEVER silently falls back to the estimate: token_count_expr
+    only routes here when the driver resolved wordpiece, so an executor
+    that can't load the vocab raises instead of letting one slice of the
+    job diverge from the oracle (and from its sibling executors). Ship the
+    vocab with `spark-submit --files tokenizer.json` (SparkFiles is on the
+    wordpiece search path) or set AXORA_TOKENIZER_JSON on the executors."""
     @F.pandas_udf(T.IntegerType())
     def _udf(texts: pd.Series) -> pd.Series:
-        fn = resolve_token_counter(tokenizer)
+        if tokenizer == "wordpiece":
+            from axora_spark.functions import wordpiece
+            if not wordpiece.available():
+                raise RuntimeError(
+                    "driver selected the wordpiece tokenizer but this "
+                    "executor cannot load tokenizer.json — ship it via "
+                    "spark-submit --files tokenizer.json or set "
+                    "AXORA_TOKENIZER_JSON (a silent estimate fallback "
+                    "would mix counting schemes within one job)")
+            fn = wordpiece.count_tokens
+        else:
+            fn = token_count_py
         return pd.Series([fn(t or "") for t in texts],
                          index=texts.index, dtype="int32")
     # pure, but marked nondeterministic so the C4 gate's filter pushdown

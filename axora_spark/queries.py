@@ -13,6 +13,8 @@ each one is the same code path the crawl engine uses.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -673,18 +675,162 @@ FROM documents
 """
 
 
+# fixture-oracle tables (tools/make_fixtures.py): expected outputs of the
+# non-SQL-expressible operators, precomputed by the engine's own pure-Python
+# cores over the UNION of every sf dir's texts, keyed by sha256(text) —
+# doc_ids carry different text per sf, hashes don't. The oracle join
+# restricts to the driver's sf; a stale fixture fails loudly (row drop).
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
 def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 real path — BGE/BERT wordpiece token counts + C4 gate over
-    documents. Greedy wordpiece over a 30k vocab is not expressible in
-    DuckDB SQL, so this query has NO oracle_sql entry (driver records the
-    weaker rows-only check); the value-level verification lives in
-    tests/test_wordpiece.py (greedy-invariant re-check against the raw
-    vocab). Falls back to the estimate if tokenizer.json is unreachable."""
+    documents (chunking.go:134-136: len(Encode(text, false))). Greedy
+    wordpiece over a 30k vocab is not expressible in DuckDB SQL, so the
+    oracle is a FIXTURE table (tools/make_fixtures.py) computed by the same
+    pure-Python tokenizer the UDF runs; the tokenizer itself is
+    independently verified by tests/test_wordpiece.py's greedy-invariant
+    re-check against the raw vocab. The UDF raises (never silently
+    estimates) if an executor can't load the vocab — operators/chunking.py."""
     docs = _t(spark, sf_dir, "documents", spread=True)
     from axora_spark.operators.chunking import token_count_expr
     tc = token_count_expr(F.col("text"), "wordpiece")
     return docs.select("doc_id", tc.alias("wp_tokens"),
                        ((tc >= 75) & (tc <= 480)).alias("in_window"))
+
+
+SQL_WORDPIECE_TOKENS = f"""
+SELECT d.doc_id, f.wp_tokens,
+       f.wp_tokens BETWEEN 75 AND 480 AS in_window
+FROM documents d
+JOIN read_parquet('{_FIXTURES}/wordpiece_counts.parquet') f
+  ON sha256(d.text) = f.text_sha
+"""
+
+
+def q_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1→C4 + A4 — the real chunk pipeline (crawler/chunking.go:48-149)
+    over the documents table: recursive-character split ("sen") →
+    posexplode fan-out index → trim/drop-empty → REAL wordpiece token
+    count → 75..480 gate. Exactly the ops of
+    plans/content.chunks_from_documents; fixture oracle precomputed by the
+    same pure-Python splitter+tokenizer (tools/make_fixtures.py)."""
+    from axora_spark.operators.chunking import (chunk_gate, chunks_udf,
+                                                token_count_expr)
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    # posexplode_OUTER + post-filter: plain posexplode gets a size>0
+    # pre-filter that re-evaluates the chunker UDF (the q_html_links trap)
+    exploded = (docs
+                .withColumn("_chunks", chunks_udf("sen")(F.col("text")))
+                .select("doc_id",
+                        F.posexplode_outer("_chunks")
+                        .alias("chunk_index", "chunk"))
+                .filter(F.col("chunk").isNotNull())
+                .withColumn("chunk", F.trim(F.col("chunk")))
+                .filter(F.col("chunk") != ""))
+    tc = token_count_expr(F.col("chunk"), "wordpiece")
+    gated = (exploded.withColumn("token_count", tc)
+             .filter(chunk_gate(F.col("token_count"))))
+    return gated.select("doc_id", "chunk_index",
+                        F.sha2(F.col("chunk"), 256).alias("chunk_sha"),
+                        "token_count")
+
+
+SQL_CHUNK_PIPELINE = f"""
+SELECT d.doc_id, f.chunk_index, f.chunk_sha, f.token_count
+FROM documents d
+JOIN read_parquet('{_FIXTURES}/chunks.parquet') f
+  ON sha256(d.text) = f.text_sha
+"""
+
+
+def q_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 — the meta-relevance gate (crawler/dom_handler.go:130-199:
+    per-meta blob = title∥name∥property∥content, split on ` ,.;:!?\\n`,
+    Porter2 stem-prefix compare vs topic 'economy') through the REAL
+    operator (plans/content.meta_relevant_udf) over (title, metas)
+    synthesized natively per doc_id. Inputs cover: keyword stem hit
+    ('economies'), trigram-present-but-stem-miss ('macro-economic'),
+    description-path hit ('economical'), and clean misses. Stemming is not
+    DuckDB-expressible → fixture oracle precomputed by the same
+    pure-Python predicate (tools/make_fixtures.py, input equality pinned
+    by tests/test_fixture_oracles.py)."""
+    from axora_spark.plans.content import meta_relevant_udf
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    title = F.concat(F.lit("Doc "), did, F.lit(" briefing"))
+    kw = (F.when(did % 4 == 0, F.lit("growth,economies"))
+           .when(did % 4 == 1, F.lit("sports,travel"))
+           .when(did % 4 == 2, F.lit("policy macro-economic"))
+           .otherwise(F.lit("weather")))
+    desc = (F.when(did % 5 == 0, F.lit("An economical overview"))
+             .otherwise(F.lit("General notes")))
+    metas = F.array(
+        F.struct(F.lit("keywords").alias("name"),
+                 F.lit("").alias("property"), kw.alias("content")),
+        F.struct(F.lit("").alias("name"),
+                 F.lit("og:description").alias("property"),
+                 desc.alias("content")))
+    return docs.select(
+        "doc_id",
+        meta_relevant_udf("economy")(title, metas).alias("relevant"))
+
+
+SQL_META_GATE = f"""
+SELECT d.doc_id, f.relevant
+FROM documents d
+JOIN read_parquet('{_FIXTURES}/meta_gate.parquet') f USING (doc_id)
+"""
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (operators/multimodal.py): interleaved
+    spans (input_hint shape) → media_spans explode → fetch_media
+    (deterministic payload synth) → extract_media_features (decode stub:
+    dims from the payload header bytes) → resize_plan (native aspect-ratio
+    column algebra). The decode kernel is a documented deterministic stub
+    (no PIL/ffmpeg in this sandbox) which is exactly what makes the whole
+    chain oracle-expressible: the DuckDB SQL states payload length and
+    header bytes from sha256(media_ref) declaratively."""
+    from axora_spark.operators.multimodal import (extract_media_features,
+                                                  fetch_media, media_spans,
+                                                  resize_plan)
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    ref = F.concat(F.lit("https://cdn.example.org/"), F.col("doc_id"),
+                   F.lit(".png"))
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
+                 ref.alias("media_ref"), F.lit(1).alias("offset")))
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    spans.alias("spans"))
+    feats = extract_media_features(fetch_media(media_spans(d)))
+    plan = resize_plan(feats)
+    return plan.select("doc_id", "media_ref", "width", "height",
+                       "target_width", "target_height")
+
+
+SQL_MEDIA_PIPELINE = """
+WITH m AS (
+  SELECT doc_id::varchar AS doc_id,
+         'https://cdn.example.org/' || doc_id || '.png' AS media_ref
+  FROM documents),
+d AS (
+  SELECT doc_id, media_ref,
+         64 + (('0x' || substr(sha256(media_ref), 1, 2))::int % 192) * 8
+           AS width,
+         64 + (('0x' || substr(sha256(media_ref), 3, 2))::int % 192) * 8
+           AS height
+  FROM m)
+SELECT doc_id, media_ref, width, height,
+       CAST(ceil(width * least(1.0, 256 / greatest(width, height)))
+            AS INT) AS target_width,
+       CAST(ceil(height * least(1.0, 256 / greatest(width, height)))
+            AS INT) AS target_height
+FROM d
+"""
 
 
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,6 +1374,9 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "wordpiece_tokens": q_wordpiece_tokens,
+    "chunk_pipeline": q_chunk_pipeline,
+    "meta_gate": q_meta_gate,
+    "media_pipeline": q_media_pipeline,
     "robots_gate": q_robots_gate,
     "text_clean": q_text_clean,
     "pii_mask": q_pii_mask,
@@ -1261,6 +1410,10 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "quality_scores": SQL_QUALITY_SCORES,
     "token_counts": SQL_TOKEN_COUNTS,
+    "wordpiece_tokens": SQL_WORDPIECE_TOKENS,
+    "chunk_pipeline": SQL_CHUNK_PIPELINE,
+    "meta_gate": SQL_META_GATE,
+    "media_pipeline": SQL_MEDIA_PIPELINE,
     "robots_gate": SQL_ROBOTS_GATE,
     "text_clean": SQL_TEXT_CLEAN,
     "pii_mask": SQL_PII_MASK,
