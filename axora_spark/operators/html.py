@@ -110,13 +110,21 @@ def parse_dom(html: str) -> _Node:
 
 
 def _walk(node: _Node, skip: frozenset = frozenset()) -> Iterator[_Node]:
-    """Depth-first element walk, pruning `skip` subtrees."""
-    for c in node.children:
-        if isinstance(c, _Node):
-            if c.tag in skip:
-                continue
-            yield c
-            yield from _walk(c, skip)
+    """Depth-first pre-order element walk, pruning `skip` subtrees.
+
+    ITERATIVE (explicit stack): real-web pages can nest thousands of
+    elements deep and a recursive walk would raise RecursionError inside
+    the parse stage (the reference's Go parser is iterative and tolerates
+    this; ADVICE r2 #1)."""
+    stack: list[Iterator] = [iter(node.children)]
+    while stack:
+        for c in stack[-1]:
+            if isinstance(c, _Node) and c.tag not in skip:
+                yield c
+                stack.append(iter(c.children))
+                break
+        else:
+            stack.pop()
 
 
 # ---------------------------------------------------------------------------
@@ -156,15 +164,19 @@ def extract_metas(root: _Node) -> list[dict]:
 
 
 def _text_of(node: _Node, skip: frozenset = frozenset()) -> str:
-    parts = []
-
-    def rec(n):
-        for c in n.children:
+    """Concatenated text of a subtree — iterative for the same
+    deep-nesting reason as _walk."""
+    parts: list[str] = []
+    stack: list[Iterator] = [iter(node.children)]
+    while stack:
+        for c in stack[-1]:
             if isinstance(c, str):
                 parts.append(c)
             elif c.tag not in skip:
-                rec(c)
-    rec(node)
+                stack.append(iter(c.children))
+                break
+        else:
+            stack.pop()
     return "".join(parts)
 
 
@@ -179,7 +191,41 @@ def _html_lang(root: _Node) -> str:
 # X4 — main-content selection (readability-style, documented above)
 # ---------------------------------------------------------------------------
 
+def _subtree_text_lens(root: _Node) -> dict[int, tuple[int, int]]:
+    """ONE iterative post-order pass computing, for every element node,
+    (chars outside <a>, chars inside <a>) over its subtree with
+    _BOILERPLATE pruned. Replaces the per-candidate _text_of rescans that
+    made extract_main O(depth²) — a 10k-deep div chain (10k candidates ×
+    10k-node text walks = 10^8 visits) would stall the parse task rather
+    than fail it. Lengths are raw (pre-whitespace-collapse): raw lengths
+    are additive bottom-up, collapsed ones aren't; the link-density SIGNAL
+    is the same and the fixture round-trip pins the selection outcomes."""
+    lens: dict[int, tuple[int, int]] = {}
+    # frame: (node, child-iterator, [own_chars, link_chars], in_link)
+    stack = [(root, iter(root.children), [0, 0], False)]
+    while stack:
+        node, it, acc, in_link = stack[-1]
+        descended = False
+        for c in it:
+            if isinstance(c, str):
+                acc[1 if in_link else 0] += len(c)
+            elif c.tag not in _BOILERPLATE:
+                stack.append((c, iter(c.children), [0, 0],
+                              in_link or c.tag == "a"))
+                descended = True
+                break
+        if not descended:
+            stack.pop()
+            lens[id(node)] = (acc[0], acc[1])
+            if stack:
+                pacc = stack[-1][2]
+                pacc[0] += acc[0]
+                pacc[1] += acc[1]
+    return lens
+
+
 def extract_main(root: _Node) -> _Node | None:
+    lens = _subtree_text_lens(root)
     candidates: list[tuple[int, int, _Node]] = []
     order = 0
     body = None
@@ -191,22 +237,13 @@ def extract_main(root: _Node) -> _Node | None:
                    or n.attrs.get("role") == "main")
         if not is_cand:
             continue
-        own = len(_ws_collapse(_text_of(n, skip=_BOILERPLATE | {"a"})))
-        link = len(_ws_collapse(_link_text(n)))
+        own, link = lens.get(id(n), (0, 0))
         candidates.append((own - link, -order, n))
     if candidates:
         best = max(candidates, key=lambda t: (t[0], t[1]))
         if best[0] > 0:
             return best[2]
     return body
-
-
-def _link_text(node: _Node) -> str:
-    parts = []
-    for n in _walk(node, skip=_BOILERPLATE):
-        if n.tag == "a":
-            parts.append(_text_of(n))
-    return "".join(parts)
 
 
 _WS_RE = re.compile(r"\s+")
@@ -408,13 +445,24 @@ def build_metadata(title: str, metas: list[dict], lang: str,
 
 def parse_page(html: str) -> dict:
     """One parse, all derived artifacts. Shared by the Spark stage, the
-    oracle and the tests."""
+    oracle and the tests.
+
+    The tree walk / text / link / meta passes are iterative (arbitrary
+    nesting depth); the markdown RENDERER is still recursive (its depth =
+    block-nesting depth, far shallower than raw DOM depth), so a
+    pathologically deep block structure degrades to body_md="" instead of
+    failing the parse — links/title/metas still come out, mirroring how
+    the reference's link callbacks keep firing when content extraction
+    gives up."""
     root = parse_dom(html)
     title = extract_title(root)
     metas = extract_metas(root)
     links = extract_links(root)
     main = extract_main(root)
-    body_md = html_to_markdown(main) if main is not None else ""
+    try:
+        body_md = html_to_markdown(main) if main is not None else ""
+    except RecursionError:
+        body_md = ""
     main_text = _text_of(main, skip=_BOILERPLATE) if main is not None else ""
     meta = build_metadata(title, metas, _html_lang(root), main_text)
     return {"title": title, "metas": metas, "out_links": links,
@@ -442,9 +490,20 @@ def parse_fetched_html(fetched: DataFrame,
     ])
 
     def _parse(batches):
+        def safe(h):
+            # per-row guard: ONE pathological page (bad soup, resource
+            # blow-up) degrades to a null row — the same shape as a fetch
+            # error — instead of failing the task and, after retries, the
+            # job (the reference's OnError only logs; ADVICE r2 #1)
+            if not (isinstance(h, str) and h):
+                return None
+            try:
+                return parse_page(h)
+            except Exception:
+                return None
+
         for pdf in batches:
-            parsed = [parse_page(h) if isinstance(h, str) and h else None
-                      for h in pdf[html_col]]
+            parsed = [safe(h) for h in pdf[html_col]]
             out = pdf.drop(columns=[html_col])
             out["title"] = [p["title"] if p else None for p in parsed]
             out["metas"] = [p["metas"] if p else None for p in parsed]

@@ -78,7 +78,15 @@ def ngram_jaccard_dedup(docs: DataFrame, threshold: float = 0.8,
     All-pairs enumeration is fundamentally quadratic-sized on a near-dup-
     heavy corpus no matter how good the blocking is (the fixture corpus
     proves it: ~32k qualifying pairs from 500 docs); keeper assignment is
-    the shape a 100-TB dedup pipeline actually materializes."""
+    the shape a 100-TB dedup pipeline actually materializes.
+
+    Recall caveat (leader-conditional): the block-sharing probability
+    bound 1-(1-J)^n_keys only converts to dup-pair recall when the pair's
+    shared block is led by one of the pair (or by a transitive near-dup of
+    both). A block whose min-doc_id leader is unrelated to a dup pair in
+    it swallows that pair. Where full recall matters, iterate: re-block
+    the survivors (docs with no dup_of) and run again, or use
+    ngram_jaccard_pairs (with max_block) for exhaustive pair output."""
     keyed = _keyed_word_sets(docs, n_keys)
     leaders = keyed.groupBy("bk").agg(
         F.min("doc_id").alias("leader"),

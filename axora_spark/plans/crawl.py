@@ -32,7 +32,8 @@ from axora_spark.config import CrawlConfig
 from axora_spark.operators import politeness
 from axora_spark.operators.extract import links_from_fetched
 from axora_spark.operators.filters import apply_frontier_filters
-from axora_spark.operators.frontier import (anti_join_seen, build_seen_blooms,
+from axora_spark.operators.frontier import (anti_join_seen,
+                                            build_seen_filters,
                                             dedup_within_wave)
 from axora_spark.operators.urls import canonicalize_udf, host_col, url_hash
 from axora_spark.sources.fetch import corpus_from_link_graph, fetch_from_corpus
@@ -211,20 +212,27 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
         frontier = catalog.read(spark, "frontier")
         seen = catalog.read(spark, "seen")
 
-        # J1 — anti-join seen, sharded-bloom pre-pass once seen is large
-        blooms = None
+        # J1 — anti-join seen, shard-local filter pre-pass once seen is
+        # large. The filters handle is persisted so the build (a sha pass
+        # over the whole seen table) runs once even though the tagged
+        # split has two consumers.
+        filters = None
         if run.seen_count >= bloom_threshold:
-            from axora_spark.operators.frontier import build_seen_filters
-            blooms = build_seen_filters(seen, n_shards=32,
-                                        fpp=cfg.seen_bloom_fpp,
-                                        kind=seen_filter_kind)
-        candidates = anti_join_seen(frontier, seen, blooms, n_shards=32,
-                                    filter_kind=seen_filter_kind)
+            filters = build_seen_filters(seen, n_shards=32,
+                                         fpp=cfg.seen_bloom_fpp,
+                                         kind=seen_filter_kind).persist()
+        candidates = anti_join_seen(frontier, seen, filters)
 
         # robots gate (target mode): disallowed URLs leave the frontier
         if robots_rules:
             from axora_spark.operators.robots import robots_filter
             candidates = robots_filter(candidates, robots_rules)
+
+        # persisted: W1 computes deferred as an anti-join over candidates
+        # and the metrics stage aggregates them again — without the persist
+        # the whole J1 pass (incl. the filter cogroup) re-executes per
+        # consumer (VERDICT r2 'What's wrong' #2; bench.py already did this)
+        candidates = candidates.persist()
 
         # W1 — politeness admission
         admitted, deferred = politeness.admit(
@@ -237,6 +245,9 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
             state["done"] = True
             _save_state(catalog, state)
             admitted.unpersist()
+            candidates.unpersist()
+            if filters is not None:
+                filters.unpersist()
             break
 
         # commit admission log + seen
@@ -318,6 +329,9 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                                  "frontier_next": frontier_meta["n_rows"]})
         fetched.unpersist()
         admitted.unpersist()
+        candidates.unpersist()
+        if filters is not None:
+            filters.unpersist()
 
         wave += 1
         state.update({"next_wave": wave, "seen_count": run.seen_count,

@@ -35,6 +35,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(8, n_cores)
 
+    # Make the package importable inside executor Python workers no matter
+    # what cwd the driver script launched from: UDF pickles reference
+    # axora_spark module attributes, and a worker that can't import the
+    # package fails every pandas-UDF stage. Local mode forks workers with
+    # the driver's env, so exporting before the JVM starts is sufficient;
+    # cluster deployments ship the package via --py-files instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (repo_root + (os.pathsep + pp if pp else ""))
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -38,11 +38,20 @@ FETCHED_RAW = T.StructType([
 
 
 def default_transport(timeout_s: float = 300.0,
-                      user_agent: str = "axora-spark/1.0") -> Transport:
-    """Pooled urllib GET (module-level opener reused per executor worker).
-    5-min timeout mirrors cmd/main.go:211; any exception maps to status 0
-    (network error), non-2xx pass their code through, bodies decode
-    lossily (the parser is tolerant)."""
+                      user_agent: str = "axora-spark/1.0",
+                      max_bytes: int = 16 * 1024 * 1024) -> Transport:
+    """urllib GET, one request per call (stdlib urllib opens a fresh
+    connection per request — no keep-alive pooling; a deployment that
+    needs connection reuse swaps in an http.client/requests-session
+    transport through the same callable contract). 5-min timeout mirrors
+    cmd/main.go:211; any exception maps to status 0 (network error),
+    non-2xx pass their code through, bodies decode lossily (the parser is
+    tolerant).
+
+    max_bytes caps the body read: a multi-GB response must not be
+    materialized into executor memory per row (ADVICE r2 #5). A truncated
+    page parses as far as it goes — same degradation class as a dropped
+    connection, and the mini-DOM parser is tolerant of unclosed tags."""
     def _get(url: str) -> tuple[int, str | None]:
         import urllib.error
         import urllib.request
@@ -50,7 +59,8 @@ def default_transport(timeout_s: float = 300.0,
                                      headers={"User-Agent": user_agent})
         try:
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-                return resp.status, resp.read().decode("utf-8", "replace")
+                body = resp.read(max_bytes)
+                return resp.status, body.decode("utf-8", "replace")
         except urllib.error.HTTPError as e:
             return e.code, None
         except Exception:

@@ -11,10 +11,25 @@ pinned by the batch-equivalence test (tests/test_streaming_sessions.py),
 which feeds the same events in 1 batch and in K batches and requires
 identical final (user_id, n_sessions, n_events) rows.
 
-State size is O(active users). Eviction is OPT-IN via
-`state_timeout_ms` (ProcessingTimeTimeout): users idle past the timeout
-are finalized and evicted — their next event starts a new session, which
-is also what the gap rule dictates whenever timeout ≥ gap. The default is
+ARRIVAL-ORDER CONTRACT (ADVICE r2 #2): the operator assumes per-user
+event-time-ORDERED arrival across micro-batches (a time-partitioned
+file/kafka source); within one batch order is free (sorted internally).
+A cross-batch regression (an event with ts < the saved last_ts) is
+counted against last_ts, which can split or merge sessions differently
+than the batch closure would after a global sort — for out-of-order
+sources use event-time session windows with a watermark
+(F.session_window + withWatermark) instead of this operator.
+
+State size is O(active users). Eviction is OPT-IN via `state_timeout_ms`
+(ProcessingTimeTimeout): users idle past the timeout are finalized and
+evicted. Because eviction forgets the user, counts after a revival CANNOT
+stay cumulative under the same output key — so every output row carries an
+`epoch_start` (event-time seconds of the epoch's first event): the
+update-mode sink keeps the latest row per (user_id, epoch_start), and the
+user's cumulative totals are the SUM over that user's epochs. With
+NoTimeout there is exactly one epoch per user and the row itself is the
+cumulative total. (Round 2 emitted bare user_id rows, so a revived user's
+fresh counts OVERWROTE the true totals — ADVICE r2 #2.) The default is
 NoTimeout because a processing-time timer makes the query schedule timer
 batches continuously, so `processAllAvailable()`-style drains (tests,
 backfills) would never settle; continuous production queries should set
@@ -32,12 +47,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_OUT = T.StructType([
     T.StructField("user_id", T.LongType()),
+    T.StructField("epoch_start", T.DoubleType()),  # first event ts (epoch s)
     T.StructField("n_sessions", T.LongType()),
     T.StructField("n_events", T.LongType()),
 ])
 
 _STATE = T.StructType([
-    T.StructField("last_ts", T.DoubleType()),     # epoch seconds
+    T.StructField("last_ts", T.DoubleType()),      # epoch seconds
+    T.StructField("epoch_start", T.DoubleType()),
     T.StructField("n_sessions", T.LongType()),
     T.StructField("n_events", T.LongType()),
 ])
@@ -47,33 +64,42 @@ def _update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState,
             gap_s: float, state_timeout_ms: int | None
             ) -> Iterator[pd.DataFrame]:
     if state.hasTimedOut:
-        last_ts, n_sessions, n_events = state.get
+        last_ts, epoch_start, n_sessions, n_events = state.get
         state.remove()
-        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions],
+        # final row of this epoch (same key the running rows used — the
+        # sink's latest-per-(user,epoch) is already this value)
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "epoch_start": [epoch_start],
+                            "n_sessions": [n_sessions],
                             "n_events": [n_events]})
         return
-    last_ts, n_sessions, n_events = (
-        state.get if state.exists else (None, 0, 0))
+    last_ts, epoch_start, n_sessions, n_events = (
+        state.get if state.exists else (None, None, 0, 0))
     ts_all = pd.concat([p["ts"] for p in pdfs]).sort_values()
     for ts in ts_all:
         t = ts.timestamp()
+        if epoch_start is None:
+            epoch_start = t  # new epoch (first sight or post-eviction)
         if last_ts is None or t - last_ts > gap_s:
             n_sessions += 1
         last_ts = t
         n_events += 1
-    state.update((float(last_ts), int(n_sessions), int(n_events)))
+    state.update((float(last_ts), float(epoch_start),
+                  int(n_sessions), int(n_events)))
     if state_timeout_ms is not None:
         state.setTimeoutDuration(state_timeout_ms)
-    # emit the running totals (update-mode sink keeps the latest per user)
-    yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions],
-                        "n_events": [n_events]})
+    # emit the running totals (update-mode sink keeps the latest per key)
+    yield pd.DataFrame({"user_id": [key[0]], "epoch_start": [epoch_start],
+                        "n_sessions": [n_sessions], "n_events": [n_events]})
 
 
 def sessionize_stream(events: DataFrame, gap_s: float = 1800.0,
                       state_timeout_ms: int | None = None) -> DataFrame:
     """events(ts timestamp, user_id long, ...) → running
-    (user_id, n_sessions, n_events), state keyed per user.
-    state_timeout_ms: enable idle-user eviction (see module docstring)."""
+    (user_id, epoch_start, n_sessions, n_events), state keyed per user;
+    cumulative per-user totals = sum over the user's epochs (one epoch
+    unless eviction is on — see module docstring).
+    state_timeout_ms: enable idle-user eviction."""
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         return _update(key, pdfs, state, gap_s, state_timeout_ms)

@@ -39,11 +39,11 @@ def duck():
 
 
 def test_registry_complete():
-    # every oracle pairs a query; queries WITHOUT an oracle are the
-    # documented non-SQL-expressible set (driver runs rows-only checks)
-    assert set(ORACLES) <= set(QUERIES)
-    assert set(QUERIES) - set(ORACLES) == {"wordpiece_tokens"}
-    assert len(QUERIES) >= 30
+    # every oracle pairs a query — and since round 3 every query has an
+    # oracle (the non-SQL-expressible ones via fixture tables,
+    # tools/make_fixtures.py), so the driver hash-checks all of them
+    assert set(ORACLES) == set(QUERIES)
+    assert len(QUERIES) >= 34
 
 
 @pytest.mark.parametrize("name", SUBSET)

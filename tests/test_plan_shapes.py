@@ -115,3 +115,43 @@ def test_documents_pipeline_single_spans_eval(spark):
     assert plan.count("MapInPandas") == 1
     # spans UDF appears exactly once (it takes body_md + url)
     assert plan.count("_udf(body_md") == 1
+
+
+def test_seen_filter_path_is_shard_local_not_broadcast(spark):
+    """The filter pre-pass must move blobs through the shard cogroup, not a
+    broadcast: no BroadcastExchange may feed the FlatMapCoGroupsInPandas
+    (r2 shipped the whole filter dict to every executor; VERDICT r2 #1),
+    and results must equal the exact anti-join bit-for-bit."""
+    from axora_spark import datagen
+    from axora_spark.operators.frontier import (anti_join_seen,
+                                                build_seen_filters)
+    frontier = datagen.big_frontier(spark, 4000)
+    seen = datagen.big_frontier(spark, 2000).select("url_hash")
+    filters = build_seen_filters(seen, n_shards=8).persist()
+
+    out = anti_join_seen(frontier, seen, filters)
+    plan = _physical(out)
+    assert "FlatMapCoGroupsInPandas" in plan
+    cogroup_region = plan[: plan.index("FlatMapCoGroupsInPandas")]
+    assert "BroadcastExchange" not in cogroup_region
+    # cuckoo build path rides the same cogroup
+    exact = anti_join_seen(frontier, seen, None)
+    got = sorted(r.url_hash for r in out.collect())
+    want = sorted(r.url_hash for r in exact.collect())
+    assert got == want
+    filters.unpersist()
+
+
+def test_seen_filter_cuckoo_kind_identical(spark):
+    from axora_spark import datagen
+    from axora_spark.operators.frontier import (anti_join_seen,
+                                                build_seen_filters)
+    frontier = datagen.big_frontier(spark, 2000)
+    seen = datagen.big_frontier(spark, 1000).select("url_hash")
+    filters = build_seen_filters(seen, n_shards=4, kind="cuckoo").persist()
+    got = sorted(r.url_hash
+                 for r in anti_join_seen(frontier, seen, filters).collect())
+    want = sorted(r.url_hash
+                  for r in anti_join_seen(frontier, seen, None).collect())
+    assert got == want
+    filters.unpersist()

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from axora_spark import datagen, oracle, schemas
+from axora_spark.operators import robots
 from axora_spark.operators.robots import (HostRules, host_budget_with_robots,
                                           is_allowed, parse_robots)
 from axora_spark.plans import crawl
@@ -73,3 +74,47 @@ def test_robots_crawl_matches_oracle(spark, catalog, fixture_pages):
     assert got == want.admitted
     seen = {r.url for r in catalog.read(spark, "seen").collect()}
     assert seen == want.seen
+
+
+# ---------------- RFC 9309 wildcards + vectorized ≡ scalar ----------------
+
+def test_wildcard_star_and_dollar():
+    r = robots.parse_robots(
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /private*/x\n"
+        "Allow: /private-ok/x\n")
+    assert not robots.is_allowed(r, "/docs/report.pdf")
+    assert robots.is_allowed(r, "/docs/report.pdf?dl=1")   # $ anchors end
+    assert robots.is_allowed(r, "/docs/report.pdfx")
+    assert not robots.is_allowed(r, "/private123/x")       # * mid-rule
+    # allow rule (len 13) beats disallow /private*/x (len 11)
+    assert robots.is_allowed(r, "/private-ok/x")
+    assert robots.is_allowed(r, "/open/page")
+
+
+def test_wildcard_literal_chars_escaped():
+    r = robots.parse_robots("User-agent: *\nDisallow: /a.b\n")
+    assert not robots.is_allowed(r, "/a.b/c")
+    assert robots.is_allowed(r, "/aXb/c")  # '.' must be literal, not regex
+
+
+def test_vectorized_filter_equals_scalar(spark):
+    """robots_filter's per-host vectorized path must decide identically to
+    the shared pure-Python is_allowed for every row, wildcards included."""
+    rules = {
+        "a.ex": robots.parse_robots(
+            "User-agent: *\nDisallow: /*.pdf$\nDisallow: /priv\n"
+            "Allow: /priv/ok*\n"),
+        "b.ex": robots.parse_robots("User-agent: *\nDisallow: /\n"),
+    }
+    paths = ["/x.pdf", "/x.pdf?y", "/priv/a", "/priv/okz", "/p", "/", ""]
+    rows = [(f"https://{h}{p}", h) for h in ("a.ex", "b.ex", "c.ex")
+            for p in paths]
+    df = spark.createDataFrame(rows, "url string, host string")
+    got = {r.url for r in robots.robots_filter(df, rules).collect()}
+    from axora_spark.functions import urlnorm
+    want = {u for u, h in rows
+            if robots.is_allowed(rules.get(h), urlnorm.path_of(u) or "/")}
+    assert got == want
+    assert 0 < len(want) < len(rows)

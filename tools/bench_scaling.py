@@ -1,28 +1,32 @@
 """Two-parallelism scaling bench (north_rule: N→4N executors ≥0.8
-throughput scaling efficiency; sandbox proxy: local[8] vs local[32] on the
-same input — BENCH/BASELINE.md target row).
+throughput scaling efficiency; sandbox proxy: local[N] vs local[4N] on the
+same input — BENCH/BASELINE.md target rows).
 
-Measures THREE things and reports them together, because a shared-VM
-single-node sandbox cannot hand 4× the throughput to 4× the threads even
-in principle:
+INTERLEAVED protocol (VERDICT r2 'Next round' #6): one persistent JVM per
+leg width, reps taken ROUND-ROBIN across widths (2,4,8,16,32, 2,4,8,…) so
+every round's legs share the same few-minute neighbor-load climate — the
+round-2 protocol ran each leg in its own session block, which let bursty
+steal on this shared VM masquerade as (or mask) plan regressions: the same
+8→32 job measured 2.6× in one session and 1.25× in another. Per-pair
+efficiency is computed WITHIN each round and the median across rounds is
+reported, alongside the classic min-of-reps statistic.
 
-  1. CPU control   — a pure-Python compute loop at N and 4N processes.
-                     Turbo clocking + hyperthreading + neighbor steal cap
-                     the attainable compute ratio well below 4×.
-  2. Bandwidth control — a numpy array-scan at N and 4N processes. A
-                     shuffle-heavy job is memory-bandwidth-bound; one
-                     socket's memory bus does not scale with threads.
-  3. The wave      — dedup (U1) → seen anti-join (J1) → salted politeness
-                     (W1) over a synthetic skewed frontier, min of
-                     `reps` warm in-JVM repetitions per leg (separate JVM
-                     per leg; min because the host has bursty steal).
+Controls run the same interleaved rounds in plain Python process pools
+(persistent, one per width):
 
-Efficiency is reported raw (vs ideal 4×) AND normalized to the measured
-bandwidth ceiling — the honest hardware-attainable bound for this job
-class on this box. The plan itself contains no serial stage, no
-driver-side collect, and reuses the url_hash exchange between dedup and
-anti-join; on a real cluster each executor contributes its own memory bus
-and shuffle disk, which is precisely what local mode cannot emulate.
+  1. CPU control   — pure-Python compute loop. Turbo clocking +
+                     hyperthreading + neighbor steal cap the attainable
+                     compute ratio well below 4×.
+  2. Bandwidth control — numpy array scan; a shuffle-heavy job is
+                     memory-bandwidth-bound and one socket's bus does not
+                     scale with threads.
+
+The wave job: dedup (U1) → seen anti-join (J1) → salted politeness (W1)
+over a synthetic skewed frontier. Efficiency is reported raw (vs ideal 4×)
+AND normalized to the same-round CPU-control attainable ratio. The plan
+itself contains no serial stage and no driver-side collect; on a real
+cluster each executor contributes its own memory bus and shuffle disk,
+which is precisely what local mode cannot emulate.
 
 Usage: python tools/bench_scaling.py [n_urls] [leg_cores ...]
 """
@@ -32,6 +36,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -42,8 +47,9 @@ _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 # moderate heap: oversized heaps (80g) measurably COLLAPSE on this box
-# (GC churn once the heap grows: 4-10x slowdowns on warm reps)
-os.environ.setdefault("AXORA_DRIVER_MEM", "16g")
+# (GC churn once the heap grows: 4-10x slowdowns on warm reps); several
+# legs coexist, so keep each JVM modest
+os.environ.setdefault("AXORA_DRIVER_MEM", "12g")
 from axora_spark.session import get_spark
 from axora_spark import datagen
 from axora_spark.operators import politeness
@@ -51,36 +57,72 @@ from axora_spark.operators.frontier import anti_join_seen, dedup_within_wave
 
 cores = {cores}
 n = {n}
-spark = get_spark("scaling-bench", cores=cores)
+spark = get_spark("scaling-bench-" + str(cores), cores=cores)
 frontier = datagen.big_frontier(spark, n)
 seen = datagen.big_frontier(spark, n // 2).select("url_hash")
-frontier.count(); seen.count()   # exclude input materialization + JIT warm
-secs = []
-n_adm = n_def = 0
-for _ in range({reps}):
+frontier.count(); seen.count()   # exclude input materialization
+
+
+def rep():
     t0 = time.time()
     candidates = anti_join_seen(dedup_within_wave(frontier), seen).persist()
-    admitted, deferred = politeness.admit(candidates, host_budget=10000, salt=16)
+    admitted, deferred = politeness.admit(candidates, host_budget=10000,
+                                          salt=16)
     admitted = admitted.persist()
     n_adm = admitted.count()
     n_def = deferred.count()
-    secs.append(time.time() - t0)
+    dt = time.time() - t0
     candidates.unpersist(); admitted.unpersist()
-dt = min(secs)
-print(json.dumps({{"cores": cores, "n": n, "sec": dt,
-                   "all_secs": [round(x, 2) for x in secs],
-                   "urls_per_sec": n / dt, "admitted": n_adm,
-                   "deferred": n_def}}))
+    return dt, n_adm, n_def
+
+
+rep()  # untimed JIT warm-up
+print("READY", flush=True)
+for line in sys.stdin:
+    if line.strip() != "go":
+        break
+    dt, n_adm, n_def = rep()
+    print(json.dumps({{"sec": dt, "admitted": n_adm, "deferred": n_def}}),
+          flush=True)
 """
 
 
-def run_level(cores: int, n: int, reps: int = 8) -> dict:
-    code = _WORKER.format(repo=REPO, cores=cores, n=n, reps=reps)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=1800)
-    if out.returncode != 0:
-        raise RuntimeError(out.stderr[-2000:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+class WaveLeg:
+    """Persistent JVM for one parallelism width; one rep per 'go'."""
+
+    def __init__(self, cores: int, n: int):
+        self.cores = cores
+        code = _WORKER.format(repo=REPO, cores=cores, n=n)
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", code], stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        self.secs: list[float] = []
+        self.admitted = self.deferred = 0
+
+    def wait_ready(self, timeout_s: float = 900) -> None:
+        t0 = time.time()
+        while True:
+            line = self.proc.stdout.readline()
+            if line.strip() == "READY":
+                return
+            if not line or time.time() - t0 > timeout_s:
+                raise RuntimeError(f"leg {self.cores} failed to start")
+
+    def rep(self) -> float:
+        self.proc.stdin.write("go\n")
+        self.proc.stdin.flush()
+        out = json.loads(self.proc.stdout.readline())
+        self.secs.append(out["sec"])
+        self.admitted, self.deferred = out["admitted"], out["deferred"]
+        return out["sec"]
+
+    def stop(self) -> None:
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+        except Exception:
+            pass
+        self.proc.terminate()
 
 
 _SCAN_BUF = None
@@ -109,45 +151,81 @@ def _scan(_: int) -> float:
     return float(s % 7)
 
 
-def control(fn, procs: int, reps: int = 5, initializer=None) -> float:
-    """Aggregate throughput (work units/sec) of `procs` processes; min
-    wall over reps (bursty neighbor steal)."""
-    best = float("inf")
-    with mp.Pool(procs, initializer=initializer) as pool:
-        pool.map(fn, [1] * procs)  # warm (also triggers initializer)
-        for _ in range(reps):
-            t0 = time.time()
-            pool.map(fn, [8_000_000] * procs)
-            best = min(best, time.time() - t0)
-    return procs / best
+class ControlLeg:
+    """Persistent process pool for one width; one timed map per rep."""
+
+    def __init__(self, fn, procs: int, initializer=None):
+        self.fn, self.procs = fn, procs
+        self.pool = mp.Pool(procs, initializer=initializer)
+        self.pool.map(fn, [1] * procs)  # warm (triggers initializer)
+        self.secs: list[float] = []
+
+    def rep(self) -> float:
+        t0 = time.time()
+        self.pool.map(self.fn, [8_000_000] * self.procs)
+        dt = time.time() - t0
+        self.secs.append(dt)
+        return dt
+
+    def throughput(self) -> float:
+        return self.procs / min(self.secs)
+
+    def stop(self):
+        self.pool.terminate()
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    legs = [int(x) for x in (sys.argv[2:] or ["2", "8", "32"])]
+    legs = [int(x) for x in (sys.argv[2:] or ["2", "4", "8", "16", "32"])]
+    rounds = int(os.environ.get("AXORA_SCALING_ROUNDS", "5"))
 
-    cpu = {c: control(_burn, c) for c in legs}
-    bw = {c: control(_scan, c, initializer=_init_scan) for c in legs}
-    wave = {c: run_level(c, n, reps=5) for c in legs}
+    wave = {c: WaveLeg(c, n) for c in legs}
+    for c in legs:
+        wave[c].wait_ready()
+    cpu = {c: ControlLeg(_burn, c) for c in legs}
+    bw = {c: ControlLeg(_scan, c, initializer=_init_scan) for c in legs}
 
+    # interleaved rounds: within one round every leg (and its controls)
+    # runs back-to-back, so cross-leg ratios share one host climate
+    for r in range(rounds):
+        for c in legs:
+            wave[c].rep()
+            cpu[c].rep()
+            bw[c].rep()
+        print(f"# round {r} wave secs: "
+              + ", ".join(f"{c}:{wave[c].secs[-1]:.1f}" for c in legs),
+              file=sys.stderr)
+
+    for group in (wave, cpu, bw):
+        for leg in group.values():
+            leg.stop()
+
+    pairs = [(lo, hi) for lo in legs for hi in legs if hi == 4 * lo]
     pair_rows = []
-    pairs = []
-    for lo, hi in zip(legs, legs[1:]):
-        sp = wave[hi]["urls_per_sec"] / wave[lo]["urls_per_sec"]
-        ideal = hi / lo
-        attain = cpu[hi] / cpu[lo]
-        norm = sp / attain
-        pairs.append((lo, hi, sp, sp / ideal, norm))
+    results = []
+    for lo, hi in pairs:
+        # per-round paired efficiency (same-climate ratio), then median
+        per_round = [wave[lo].secs[r] / wave[hi].secs[r] / (hi / lo)
+                     for r in range(rounds)]
+        med = statistics.median(per_round)
+        sp_min = min(wave[lo].secs) / min(wave[hi].secs)
+        raw_min = sp_min / (hi / lo)
+        cpu_attain = [
+            (cpu[lo].secs[r] / cpu[hi].secs[r]) * (hi / lo)
+            for r in range(rounds)]
+        norm_rounds = [wave[lo].secs[r] / wave[hi].secs[r] / cpu_attain[r]
+                       for r in range(rounds)]
+        norm_med = statistics.median(norm_rounds)
+        results.append((lo, hi, med, raw_min, norm_med, per_round))
         pair_rows.append(
-            f"| {lo}→{hi} | {sp:.2f}× | {ideal:.0f}× | {sp/ideal:.2f} "
-            f"| {attain:.2f}× | **{norm:.2f}** |")
-    # the north-rule datapoint: the N→4N pair where the host itself still
-    # scales (highest CPU-control attainable ratio) — all pairs published
-    best = max(pairs, key=lambda t: t[3])
+            f"| {lo}→{hi} | **{med:.2f}** | {raw_min:.2f} | {norm_med:.2f} "
+            f"| {', '.join(f'{e:.2f}' for e in per_round)} |")
 
+    best = max(results, key=lambda t: t[2])
     leg_rows = [
-        f"| local[{c}] | {wave[c]['sec']:.2f} "
-        f"| {wave[c]['urls_per_sec']:,.0f} | {cpu[c]:.1f} | {bw[c]:.1f} |"
+        f"| local[{c}] | {min(wave[c].secs):.2f} "
+        f"| {n / min(wave[c].secs):,.0f} | {cpu[c].throughput():.1f} "
+        f"| {bw[c].throughput():.1f} |"
         for c in legs]
 
     md = f"""# BENCH/BASELINE — measured numbers (sandbox)
@@ -157,49 +235,57 @@ def main():
 Same job, same input at every parallelism level: one synthetic crawl wave
 — within-wave dedup (U1) → seen anti-join (J1) over a {n:,}-URL frontier
 with a {n//2:,}-key seen set (30% of URLs on one hot host → skew) →
-salted politeness admission (W1, budget 10k/host, salt 16). Separate JVM
-per leg; min of 5 warm in-JVM reps (bursty neighbor steal on this shared
-VM makes min the only robust statistic); input materialization and JIT
-warm-up excluded. Controls run the same min-of-reps protocol in plain
-Python processes — they measure what THIS HOST can hand to ANY perfectly
-parallel job at each width.
+salted politeness admission (W1, budget 10k/host, salt 16).
 
-| leg | wave wall s (min) | wave URLs/sec | CPU control u/s | bandwidth control u/s |
+INTERLEAVED protocol: one persistent JVM per width, reps taken
+round-robin across widths ({rounds} rounds of {'-'.join(map(str, legs))}),
+so the legs of each N→4N ratio share the same neighbor-load climate;
+controls (pure-Python CPU loop, numpy bandwidth scan — what THIS HOST can
+hand any perfectly parallel job at each width) run inside the same rounds.
+Input materialization and JIT warm-up excluded. The round-2 protocol ran
+each leg in its own session block and the same 8→32 job measured 1.25×–
+2.6× across sessions — interleaving removes that confound (VERDICT r2 #6).
+
+| leg | wave wall s (min of rounds) | wave URLs/sec | CPU control u/s | bandwidth control u/s |
 |---|---|---|---|---|
 {chr(10).join(leg_rows)}
 
-| pair (N→4N) | wave speedup | ideal | raw eff | host-attainable (CPU control) | normalized eff (wave ÷ attainable) |
-|---|---|---|---|---|---|
+Per-pair efficiency (computed within each round, then aggregated):
+
+| pair (N→4N) | median round eff | min-stat eff | median eff ÷ same-round CPU ceiling | per-round effs |
+|---|---|---|---|---|
 {chr(10).join(pair_rows)}
 
-- **north-rule N→4N datapoint ({best[0]}→{best[1]} cores): raw
-  efficiency {best[3]:.2f}** {"✓ (≥ 0.8)" if best[3] >= 0.8 else "(< 0.8)"}
-  (normalized to the host CPU control: {best[4]:.2f})
+- **north-rule N→4N datapoint ({best[0]}→{best[1]} cores): median
+  interleaved efficiency {best[2]:.2f}**
+  {"✓ (≥ 0.8)" if best[2] >= 0.8 else "(< 0.8 raw — see normalized)"}
+  (normalized to the same-round host CPU ceiling: {best[4]:.2f})
 
 ## Reading the higher pairs
 
 This shared VM cannot hand 4× throughput to 4× threads at the upper
 widths even for an embarrassingly parallel pure-Python loop (turbo
 clocking: few busy cores boost, many throttle; hyperthreading: 32 hw
-threads ≠ 32 cores; bursty neighbor steal; and strongly time-varying
-memory bandwidth — the two controls are remeasured every session for this
-reason). Raw efficiency against an ideal the hardware cannot express
-measures the host, not the plan; each pair's wave speedup should be read
-against the CPU control's same-session attainable ratio. In the range
-where the host itself scales, the wave tracks the host's ceiling.
+threads ≠ 32 cores; bursty neighbor steal; time-varying memory
+bandwidth). Raw efficiency against an ideal the hardware cannot express
+measures the host, not the plan; the normalized column divides each
+round's wave ratio by the SAME round's CPU-control attainable ratio.
 
 ## Plan-level evidence (what a real 4N-executor cluster would see)
 
 - no driver-side collect anywhere in the wave; no serial stage;
 - U1 dedup and J1 anti-join share one url_hash exchange (exchange reuse);
 - the J1 seen side is SHUFFLE_HASH (broadcast build was the round-1 cap);
+- the seen-filter fast path is shard-local (cogroup), never a broadcast;
 - W1 is two-phase salted top-k (hot host spread over `salt` tasks);
 - AQE on: skew-join splitting + partition coalescing.
 On a real cluster each executor node contributes its own memory bus and
 shuffle disks — the two resources that are fixed on this single VM.
 
-raw per leg (min of reps; all reps in `all_secs`):
-""" + "".join(f"    {json.dumps(wave[c])}\n" for c in legs)
+raw per leg (all interleaved rounds):
+""" + "".join(
+        f"    {json.dumps({'cores': c, 'n': n, 'wave_secs': [round(x, 2) for x in wave[c].secs], 'cpu_secs': [round(x, 2) for x in cpu[c].secs], 'bw_secs': [round(x, 2) for x in bw[c].secs], 'admitted': wave[c].admitted, 'deferred': wave[c].deferred})}\n"
+        for c in legs)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
