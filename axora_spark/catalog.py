@@ -180,6 +180,36 @@ class SnapshotCatalog:
         fresh = collapsed.join(existing, on=key, how="left_anti")
         return self.append(spark, name, fresh)
 
+    def merge_upsert_latest(self, spark: SparkSession, name: str,
+                            df: DataFrame, key: str, order_col: str) -> int:
+        """MERGE INTO t USING df ON t.key = df.key
+        WHEN MATCHED AND df.order > t.order THEN UPDATE *
+        WHEN NOT MATCHED THEN INSERT * — latest-wins upsert (the cookie
+        jar's SetCookies overwrite semantics, crawler/boltdb.go:103-113).
+
+        Per key the row with the greatest `order_col` survives; ties
+        resolve by the struct-max of the remaining columns so replays are
+        deterministic (a crash-resumed wave re-upserts identical rows —
+        idempotent by construction). Implemented as read ∪ new → max_by →
+        overwrite; on real Iceberg this call site becomes MERGE INTO with
+        file-level copy-on-write. O(table) per merge — acceptable for the
+        small keyed-state tables this serves (cookies: O(hosts that ever
+        answered Set-Cookie), orders below `seen`)."""
+        incoming = df.select(*df.columns)
+        if self.table_exists(name) and \
+                self.current_snapshot(name) is not None:
+            incoming = (self.read(spark, name).select(*df.columns)
+                        .unionByName(incoming))
+        others = [c for c in df.columns if c != key]
+        tie = [c for c in others if c != order_col]
+        merged = (incoming.groupBy(key)
+                  .agg(F.max_by(F.struct(*others),
+                                F.struct(order_col, *tie)).alias("_row"))
+                  .select(key, *[F.col(f"_row.{c}").alias(c)
+                                 for c in others])
+                  .select(*df.columns))
+        return self.overwrite(spark, name, merged)
+
     def rollback(self, name: str, snapshot_id: int | None) -> None:
         """Point `current` at an older snapshot; None = the empty table
         (pre-first-commit state) — used by mid-wave crash recovery."""
