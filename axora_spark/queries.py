@@ -1257,6 +1257,46 @@ FROM documents
 """
 
 
+def q_serp_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/W3/U2 — the SERP collector (crawler/urls_collector.go) over a
+    deterministic engine fixture: 16 queries, 1+(q%3) result pages each,
+    every page carrying 3 result links each rendered THREE ways (clean
+    https, in-page duplicate, plain-http) plus an empty-text link — the
+    evaluated-JS filters and the in-page Set dedup (U2) must strip all but
+    the clean three; pagination walks the real next-button selector and
+    the W3 cap is exercised by the loop shape. Runs the REAL selector
+    engine + mini-DOM extraction + wave loop (sources/serp.py); the oracle
+    states the surviving rows closed-form."""
+    from axora_spark.sources.serp import collect_serp
+
+    def tp(su: str, page: int):
+        q = int(su.rsplit("q=", 1)[1].rsplit("-", 1)[1])
+        total = 1 + (q % 3)
+        links = "".join(
+            f'<a href="https://res.example.org/{q}/{page}/{j}">r{j}</a>'
+            f'<a href="https://res.example.org/{q}/{page}/{j}">dup</a>'
+            f'<a href="http://plain.example.org/{q}/{page}/{j}">http</a>'
+            f'<a href="https://void.example.org/{q}/{page}/{j}"> </a>'
+            for j in range(3))
+        nxt = ('<form aria-label="go to page Next">'
+               '<button data-testid="pagination-button">N</button></form>'
+               if page < total else "")
+        return 200, (f'<html><body><section id="main">{links}</section>'
+                     f'{nxt}</body></html>')
+
+    return collect_serp(spark, [f"topic-{i}" for i in range(16)], tp)
+
+
+SQL_SERP_COLLECT = """
+SELECT 'topic-' || q.q AS query, p.p::int AS page, j.j::int AS pos,
+       'https://res.example.org/' || q.q || '/' || p.p || '/' || j.j AS url
+FROM (SELECT unnest(range(0, 16)) AS q) q,
+     (SELECT unnest(range(1, 4)) AS p) p,
+     (SELECT unnest(range(0, 3)) AS j) j
+WHERE p.p <= 1 + (q.q % 3)
+"""
+
+
 # --------------------------------------------------------------------------
 # Classic analytics (window / agg / join coverage)
 # --------------------------------------------------------------------------
@@ -1412,6 +1452,7 @@ QUERIES = {
     "html_links": q_html_links,
     "html_main_md": q_html_main_md,
     "doc_metadata": q_doc_metadata,
+    "serp_collect": q_serp_collect,
     "tpch_q1": q_tpch_q1,
     "topk_per_group": q_topk_per_group,
     "broadcast_join_agg": q_broadcast_join_agg,
@@ -1449,6 +1490,7 @@ ORACLES = {
     "html_links": SQL_HTML_LINKS,
     "html_main_md": SQL_HTML_MAIN_MD,
     "doc_metadata": SQL_DOC_METADATA,
+    "serp_collect": SQL_SERP_COLLECT,
     "tpch_q1": SQL_TPCH_Q1,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,

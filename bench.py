@@ -36,7 +36,7 @@ HEADLINE = [
     "minhash_signature", "minhash_near_dup", "simhash", "ngram_jaccard",
     "embedding_near_dup", "cosine_topk", "ann_lsh_buckets", "ann_ivf_topk",
     "quality_scores", "token_counts", "wordpiece_tokens", "chunk_pipeline",
-    "meta_gate", "media_pipeline", "robots_gate",
+    "meta_gate", "media_pipeline", "robots_gate", "serp_collect",
     "text_clean",
     "pii_mask", "doc_fingerprint",
     "interleaved_spans", "html_links", "html_main_md", "doc_metadata",
