@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from axora_spark.operators.embed import cosine_similarity
 from axora_spark.functions.quality import (distinct_word_count, quality_score,
@@ -1053,6 +1054,121 @@ FROM s
 """
 
 
+def _rep_counts_udf():
+    """(text) → struct<c2,c3,c4:int> — per n ∈ {2,3,4}, the maximum over
+    the doc's word n-grams of  occurrences × characters-in-gram  (the
+    numerator of the 'fraction of characters in the most repetition-
+    covering n-gram' statistic). Exact linear-time Counter per doc,
+    Arrow-batched. Words = whitespace split (str.split ≡ _words_col)."""
+    import pandas as pd
+    from collections import Counter
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("c2", T.LongType()),
+        T.StructField("c3", T.LongType()),
+        T.StructField("c4", T.LongType())]))
+    def _udf(texts):
+        rows = {"c2": [], "c3": [], "c4": []}
+        for t in texts:
+            words = (t or "").split()
+            for n in (2, 3, 4):
+                best = 0
+                if len(words) >= n:
+                    counts = Counter(
+                        tuple(words[i:i + n])
+                        for i in range(len(words) - n + 1))
+                    best = max(cnt * sum(len(w) for w in g)
+                               for g, cnt in counts.items())
+                rows[f"c{n}"].append(best)
+        return pd.DataFrame(rows)
+    return _udf
+
+
+def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, appendix A1.1): a doc is
+    dropped when too much of it is covered by repeated n-grams. Metrics
+    per doc: fraction of word-characters inside the most repetition-
+    covering word n-gram for n=2,3,4 (deterministic max of
+    occurrences×gram-chars — no mode tie-break needed), duplicate-word
+    fraction, and the pass verdict against the published thresholds
+    (2-gram ≤0.20, 3-gram ≤0.18, 4-gram ≤0.16).
+
+    Scale shape: the statistic is ROW-LOCAL, so the plan is map-only —
+    one Arrow-batched pandas UDF with a linear-time Counter per doc
+    (SCALE.md Python-boundary policy). The alternatives both lose at
+    100 TB: explode+groupBy shuffles 3×(corpus tokens) rows for a per-row
+    quantity, and a native HOF count-of-each-distinct is O(L²) per doc
+    (hostile for 100k-token pages)."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    w = _words_col(F.col("text"))
+    total = F.aggregate(w, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x))
+    c = _rep_counts_udf()(F.col("text"))
+    base = docs.select(
+        "doc_id", c.alias("c"), total.alias("tot"),
+        F.size(w).alias("wc"),
+        F.size(F.array_distinct(w)).alias("dw"))
+    r2 = F.col("c.c2") / F.col("tot")
+    r3 = F.col("c.c3") / F.col("tot")
+    r4 = F.col("c.c4") / F.col("tot")
+    dupw = F.round(1 - F.col("dw") / F.col("wc"), 6)
+    return base.select(
+        "doc_id",
+        F.round(r2, 6).alias("top2gram_char_frac"),
+        F.round(r3, 6).alias("top3gram_char_frac"),
+        F.round(r4, 6).alias("top4gram_char_frac"),
+        dupw.alias("dup_word_frac"),
+        # gate on the RAW fractions (both engines), not the rounded ones
+        ((r2 <= 0.20) & (r3 <= 0.18) & (r4 <= 0.16))
+        .alias("passes_repetition"))
+
+
+SQL_REPETITION_FILTERS = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+b AS (
+  SELECT doc_id, words,
+         len(list_aggregate(words, 'string_agg', '')) AS tot,
+         len(words) AS wc, len(list_distinct(words)) AS dw
+  FROM w),
+g AS (
+  SELECT doc_id, n, gram, count(*) AS cnt,
+         len(replace(gram, ' ', '')) AS gchars
+  FROM (
+    SELECT doc_id, 2 AS n,
+           unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS gram
+    FROM w
+    UNION ALL
+    SELECT doc_id, 3,
+           unnest(list_transform(range(1, len(words) - 1),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    FROM w
+    UNION ALL
+    SELECT doc_id, 4,
+           unnest(list_transform(range(1, len(words) - 2),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       || ' ' || words[i+3]))
+    FROM w)
+  GROUP BY doc_id, n, gram),
+m AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN cnt * gchars END) AS c2,
+         max(CASE WHEN n = 3 THEN cnt * gchars END) AS c3,
+         max(CASE WHEN n = 4 THEN cnt * gchars END) AS c4
+  FROM g GROUP BY doc_id)
+SELECT b.doc_id,
+       round(coalesce(m.c2, 0) / b.tot, 6) AS top2gram_char_frac,
+       round(coalesce(m.c3, 0) / b.tot, 6) AS top3gram_char_frac,
+       round(coalesce(m.c4, 0) / b.tot, 6) AS top4gram_char_frac,
+       round(1 - b.dw / (1.0 * b.wc), 6) AS dup_word_frac,
+       (coalesce(m.c2, 0) / b.tot <= 0.20
+        AND coalesce(m.c3, 0) / b.tot <= 0.18
+        AND coalesce(m.c4, 0) / b.tot <= 0.16) AS passes_repetition
+FROM b LEFT JOIN m USING (doc_id)
+"""
+
+
 def q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 — content hash (vector-sink merge key)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
@@ -1447,6 +1563,7 @@ QUERIES = {
     "pii_mask": q_pii_mask,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_filters": q_repetition_filters,
     "sha256_hash": q_sha256,
     "interleaved_spans": q_interleaved_spans,
     "html_links": q_html_links,
@@ -1485,6 +1602,7 @@ ORACLES = {
     "pii_mask": SQL_PII_MASK,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "repetition_filters": SQL_REPETITION_FILTERS,
     "sha256_hash": SQL_SHA256,
     "interleaved_spans": SQL_INTERLEAVED_SPANS,
     "html_links": SQL_HTML_LINKS,

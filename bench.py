@@ -38,7 +38,7 @@ HEADLINE = [
     "quality_scores", "token_counts", "wordpiece_tokens", "chunk_pipeline",
     "meta_gate", "media_pipeline", "robots_gate", "serp_collect",
     "text_clean",
-    "pii_mask", "doc_fingerprint",
+    "pii_mask", "doc_fingerprint", "repetition_filters",
     "interleaved_spans", "html_links", "html_main_md", "doc_metadata",
     "tpch_q1", "topk_per_group", "broadcast_join_agg",
     "events_tumbling", "sessionize",
