@@ -254,7 +254,8 @@ SERP_RESULT = T.StructType([
 def collect_serp(spark: SparkSession, queries: list[str] | DataFrame,
                  transport: SerpTransport,
                  engine: str | SearchEngine = DEFAULT_ENGINE,
-                 max_pages: int = MAX_PAGES) -> DataFrame:
+                 max_pages: int = MAX_PAGES,
+                 queries_per_task: int = 64) -> DataFrame:
     """S2 — (query, page, pos, url) result rows for every query.
 
     Wave loop over page numbers (pages are click-sequential per query —
@@ -267,14 +268,28 @@ def collect_serp(spark: SparkSession, queries: list[str] | DataFrame,
 
     At 10^6 queries × ≤50 pages this is ≤50 narrow batch stages of
     ~n_queries rows each — no shuffle anywhere (the explode is per-row);
-    the output feeds seed_frontier exactly like a seed list (S1)."""
+    the output feeds seed_frontier exactly like a seed list (S1).
+
+    The query frame is partitioned to ceil(n_queries / queries_per_task)
+    — sized to the DATA, not to defaultParallelism. This matters beyond
+    scheduling: every (mostly-empty) partition of a pandas-UDF stage
+    forks a Python worker, and a 16-query frame spread over 32 default
+    partitions across a few wave stages left ~70 idle workers resident,
+    measurably degrading every subsequent stage in the session (wave
+    bench 3.9s → 63s until the pool drained). Partition count follows the
+    active query set, so worker fan-out always matches real work."""
+    import math
+
     eng = ENGINES[engine] if isinstance(engine, str) else engine
 
     if isinstance(queries, DataFrame):
         qdf = queries.select("query").dropDuplicates(["query"])
+        n_q = qdf.count()
     else:
-        qdf = spark.createDataFrame(
-            [(q,) for q in dict.fromkeys(queries)], "query string")
+        uniq = list(dict.fromkeys(queries))
+        qdf = spark.createDataFrame([(q,) for q in uniq], "query string")
+        n_q = len(uniq)
+    qdf = qdf.repartition(max(1, math.ceil(n_q / queries_per_task)))
 
     def _make_fetch(page: int):
         def _fetch(batches):

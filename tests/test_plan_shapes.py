@@ -155,3 +155,19 @@ def test_seen_filter_cuckoo_kind_identical(spark):
                   for r in anti_join_seen(frontier, seen, None).collect())
     assert got == want
     filters.unpersist()
+
+
+def test_repetition_filters_map_only(spark):
+    """The Gopher repetition query is a ROW-LOCAL statistic: exactly one
+    Arrow-batched UDF evaluation and NO shuffle anywhere (an
+    explode+groupBy formulation would move 3×corpus-tokens rows for a
+    per-row quantity). The only exchange allowed is the single
+    round-robin spread of the single-row-group fixture scan."""
+    from axora_spark.queries import q_repetition_filters
+    plan = _physical(q_repetition_filters(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "SortAggregate" not in plan and "HashAggregate" not in plan
+    # no hash/range repartitioning — only the scan-spread round robin
+    import re
+    hash_exchanges = re.findall(r"Exchange (?:hash|range)partitioning", plan)
+    assert hash_exchanges == []
