@@ -162,6 +162,73 @@ def lsh_candidate_pairs(bands: DataFrame,
 
 
 # --------------------------------------------------------------------------
+# Dedup clusters: connected components over LSH bucket edges
+# --------------------------------------------------------------------------
+
+def bucket_star_edges(bands: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) buckets → star edges (a, b): every bucket
+    member connects to the bucket's min doc_id. Same connected components
+    as the all-pairs-in-bucket graph with O(members) edges instead of
+    O(members²) — the only edge shape that survives a degenerate bucket
+    at corpus scale."""
+    roots = (bands.groupBy("band", "band_key")
+             .agg(F.min("doc_id").alias("root")))
+    return (bands.join(roots, ["band", "band_key"])
+            .filter(F.col("doc_id") != F.col("root"))
+            .select(F.col("doc_id").alias("a"), F.col("root").alias("b"))
+            .distinct())
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation to a fixpoint: (a, b) undirected edges →
+    (doc_id, cluster_id) for every node appearing in an edge, cluster_id =
+    min doc_id of the component. The canonical Spark CC loop (same shape
+    GraphFrames/GraphX use for label propagation):
+
+      label(v) ← min(label(v), min over neighbors u of label(u))
+
+    one shuffle join per iteration, convergence = zero changed labels
+    (a count on the joined diff — no collect of the labels themselves).
+    Each round's labels are localCheckpoint-ed: without lineage
+    truncation the logical plan doubles per round (the join re-embeds
+    the previous round's whole tree) and Catalyst analysis time blows
+    up long before the data does — the standard iterative-algorithm
+    trap; a production cluster would point this at a reliable
+    checkpoint dir instead of executor-local storage.
+    Iterations needed = graph diameter; star edges pre-collapse every
+    bucket to depth 1, so chains only form ACROSS buckets and real
+    corpora converge in a handful of rounds (the 100-TB refinement is
+    large-star/small-star alternation — same per-round plan, provably
+    O(log n) rounds). max_iter bounds a pathological chain; hitting it
+    raises rather than returning a half-converged clustering."""
+    sym = (edges.select("a", "b")
+           .union(edges.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("doc_id"))
+              .distinct()
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym["b"] == labels["doc_id"])
+               .groupBy(sym["a"].alias("doc_id"))
+               .agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.join(nbr, "doc_id", "left")
+                      .select("doc_id",
+                              F.least("label", "nbr_min").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed(
+                       "label", "old"), "doc_id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                "doc_id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+# --------------------------------------------------------------------------
 # Embedding sign-LSH (multi-table)
 # --------------------------------------------------------------------------
 

@@ -321,6 +321,88 @@ FROM bands a JOIN bands b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTER assignment — the step after candidate pairs that a
+    real dedup pipeline materializes: connected components over the
+    minhash LSH bucket graph, cluster_id = min doc_id of the component,
+    one row per document (singletons cluster alone).
+
+    Scale shape: star edges per bucket (O(members), never O(members²) —
+    operators/neardup.bucket_star_edges) + distributed min-label
+    propagation (one keyed shuffle join per round, converges in
+    diameter rounds; neardup.connected_components). Keeper choice =
+    min doc_id, matching the exact-dedup keeper rule."""
+    from axora_spark.operators import neardup
+    sig = q_minhash_signature(spark, sf_dir)
+    bands = neardup.band_buckets(sig, rows_per_band=2)
+    edges = neardup.bucket_star_edges(bands)
+    comp = neardup.connected_components(edges)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    labeled = (docs.join(comp, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("cluster_id", "doc_id")
+                       .alias("cluster_id")))
+    sizes = (labeled.groupBy("cluster_id")
+             .agg(F.count("*").alias("cluster_size")))
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size")
+
+
+# Oracle: same bucket construction as SQL_MINHASH_NEAR_DUP, star edges,
+# then transitive closure via a recursive CTE (UNION dedups → terminates)
+# and min reachable doc_id as the component label.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+),
+h AS (
+  SELECT doc_id, list_transform(sh, x -> sha256(x)) AS hs
+  FROM s WHERE len(sh) > 0
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {N_MINHASH}),
+           i -> list_min(list_transform(hs,
+                  x -> substr(x, (i*8)::int + 1, 8)))) AS sig
+  FROM h
+),
+bands AS (
+  SELECT doc_id, u.b AS band,
+         list_aggregate(list_sort([sig[2*u.b + 1], sig[2*u.b + 2]]),
+                        'string_agg', '|') AS band_key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b) u
+),
+roots AS (
+  SELECT band, band_key, min(doc_id) AS root
+  FROM bands GROUP BY band, band_key
+),
+edges AS (
+  SELECT DISTINCT b.doc_id AS a, r.root AS b
+  FROM bands b JOIN roots r USING (band, band_key)
+  WHERE b.doc_id <> r.root
+),
+sym AS (
+  SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit): per word w, h = first 4 hex chars of sha256(w);
     bit b of the fingerprint is 1 iff Σ_words (bit_b(h) ? 1 : -1) > 0.
@@ -1169,6 +1251,254 @@ FROM b LEFT JOIN m USING (doc_id)
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by TF-IDF (tf = term count / doc words,
+    idf = ln(N / df) over distinct-doc frequency) — the classic corpus
+    statistic a training-data pipeline logs for topic drift monitoring.
+
+    Scale shape: explode → two keyed aggregations (term-per-doc counts,
+    then df per term) + a broadcast-sized term-df join ONLY if the
+    vocabulary is small; here df comes back via a shuffle join on term
+    (vocabulary is unbounded at web scale — never broadcast it), then a
+    per-doc top-k window. Ranking is on round(score, 9) with a term
+    tie-break so the two engines' libm ulp differences cannot reorder
+    the cut (same guard the politeness ranker uses for floats)."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    n_docs = docs.count()  # tiny scalar, known up front (count of corpus)
+    terms = docs.select(
+        "doc_id", F.explode(_words_col(F.col("text"))).alias("term"))
+    tf = (terms.groupBy("doc_id", "term")
+          .agg(F.count("*").alias("cnt"))
+          .withColumn("wc", F.sum("cnt").over(
+              Window.partitionBy("doc_id"))))
+    df_tbl = (terms.distinct().groupBy("term")
+              .agg(F.count("*").alias("df")))
+    scored = (tf.join(df_tbl, "term")
+              .withColumn("score",
+                          F.round((F.col("cnt") / F.col("wc"))
+                                  * F.log(F.lit(float(n_docs))
+                                          / F.col("df")), 9)))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "rank", "term",
+                    F.round("score", 6).alias("tfidf")))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS cnt,
+         sum(count(*)) OVER (PARTITION BY doc_id) AS wc
+  FROM t GROUP BY doc_id, term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((tf.cnt / (1.0 * tf.wc))
+               * ln(n.n_docs / (1.0 * df.df)), 9) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, round(score, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _page_lines(words: Column, doc_id: Column) -> Column:
+    """Deterministically lay the word stream out as pseudo-lines (10 words
+    per line, bullet prefix on every 3rd line, ellipsis/period suffix on a
+    5/2 cadence keyed by doc_id+line). The driver documents are single-line
+    word streams, so line-structured quality filters (Gopher bullet/
+    ellipsis ratios, C4 sentence rules) need a page layout; constructing
+    it identically in both engines — the same trick interleaved_spans
+    uses — keeps the filters hash-checkable AND non-degenerate."""
+    n_lines = F.greatest(F.ceil(F.size(words) / F.lit(10)).cast("int"),
+                         F.lit(1))
+
+    def mk(i):
+        body = F.array_join(F.slice(words, i * F.lit(10) + 1, 10), " ")
+        pre = (F.when((doc_id + i) % 3 == 0, F.lit("• "))
+                .otherwise(F.lit("")))
+        suf = (F.when((doc_id + i) % 5 == 0, F.lit("…"))
+                .when((doc_id + i) % 2 == 0, F.lit("."))
+                .otherwise(F.lit("")))
+        return F.concat(pre, body, suf)
+
+    return F.transform(F.sequence(F.lit(0), n_lines - 1), mk)
+
+
+# DuckDB twin of _page_lines: range(0, n) is 0..n-1, list_slice is 1-based
+# inclusive with clamping (≡ F.slice(words, start, 10)).
+_PAGE_SQL = f"""
+  SELECT doc_id, words,
+         list_transform(
+           range(0, greatest(cast(ceil(len(words) / 10.0) AS int), 1)),
+           i -> (CASE WHEN (doc_id + i) % 3 = 0 THEN '• ' ELSE '' END)
+                || array_to_string(
+                     list_slice(words, i * 10 + 1, i * 10 + 10), ' ')
+                || (CASE WHEN (doc_id + i) % 5 = 0 THEN '…'
+                         WHEN (doc_id + i) % 2 = 0 THEN '.'
+                         ELSE '' END)) AS lines
+  FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+"""
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality signals (Rae et al. 2021, appendix A1.1) — the
+    doc-level companions to q_repetition_filters: word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (# / ellipsis) ≤ 0.1, ≤90% of lines bullet-led, ≤30% of lines
+    ellipsis-ended, ≥80% of words containing an alphabetic character,
+    and ≥2 of the 8 canonical stop words present.
+
+    Scale shape: map-only — every statistic is row-local column algebra
+    over split/HOF arrays (no UDF, whole-stage codegen end to end), so
+    the filter costs one scan at any corpus size and pushes nothing to
+    a shuffle. Gates evaluate on RAW fractions; displayed fractions are
+    rounded to 6dp (same contract as repetition_filters)."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    w = _words_col(F.col("text"))
+    base = docs.select(
+        "doc_id", _page_lines(w, did).alias("lines"), w.alias("words"))
+    page = F.array_join(F.col("lines"), "\n")
+    wc = F.size(F.col("words"))
+    tot_chars = F.aggregate(F.col("words"), F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+    mwl = tot_chars / wc
+    n_sym = ((F.length(page)
+              - F.length(F.translate(page, "#…", ""))))
+    sym_ratio = n_sym / wc
+    nl = F.size(F.col("lines"))
+    bullet = F.size(F.filter(
+        F.col("lines"), lambda l: l.startswith("•"))) / nl
+    ellip = F.size(F.filter(
+        F.col("lines"), lambda l: l.endswith("…"))) / nl
+    alpha = F.size(F.filter(
+        F.col("words"), lambda x: x.rlike("[A-Za-z]"))) / wc
+    stop_hits = sum(
+        (F.array_contains(F.col("words"), sw).cast("int")
+         for sw in _GOPHER_STOPWORDS),
+        start=F.lit(0))
+    passes = ((wc >= 50) & (wc <= 100_000)
+              & (mwl >= 3) & (mwl <= 10)
+              & (sym_ratio <= 0.1)
+              & (bullet <= 0.9) & (ellip <= 0.3)
+              & (alpha >= 0.8) & (stop_hits >= 2))
+    return base.select(
+        "doc_id",
+        wc.alias("word_count"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet, 6).alias("bullet_line_frac"),
+        F.round(ellip, 6).alias("ellipsis_line_frac"),
+        F.round(alpha, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        passes.alias("passes_gopher"))
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH p AS ({_PAGE_SQL}),
+b AS (
+  SELECT doc_id, words, lines,
+         array_to_string(lines, chr(10)) AS page,
+         len(words) AS wc,
+         len(list_aggregate(words, 'string_agg', '')) AS tot,
+         len(lines) AS nl
+  FROM p),
+m AS (
+  SELECT doc_id, wc, nl,
+         tot / (1.0 * wc) AS mwl,
+         (len(page) - len(replace(replace(page, '#', ''), '…', '')))
+           / (1.0 * wc) AS sym_ratio,
+         len(list_filter(lines, l -> l LIKE '•%')) / (1.0 * nl)
+           AS bullet,
+         len(list_filter(lines, l -> l LIKE '%…')) / (1.0 * nl)
+           AS ellip,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           / (1.0 * wc) AS alpha,
+         {" + ".join(f"list_contains(words, '{sw}')::int"
+                     for sw in _GOPHER_STOPWORDS)} AS stop_hits
+  FROM b)
+SELECT doc_id,
+       wc AS word_count,
+       round(mwl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_word_ratio,
+       round(bullet, 6) AS bullet_line_frac,
+       round(ellip, 6) AS ellipsis_line_frac,
+       round(alpha, 6) AS alpha_word_frac,
+       stop_hits AS stopword_hits,
+       (wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+        AND sym_ratio <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
+        AND alpha >= 0.8 AND stop_hits >= 2) AS passes_gopher
+FROM m
+"""
+
+
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation AND have ≥5 words; a page
+    survives when ≥3 lines remain. Emits per-doc kept/total line counts
+    and the retained character fraction — the audit columns a training-
+    data pipeline logs before dropping text. Page layout from
+    _page_lines (shared with gopher_quality).
+
+    Scale shape: map-only HOF filter per row — the line predicate runs
+    inside codegen, no explode (the per-line explode+groupBy alternative
+    shuffles corpus-linecount rows to recompute a row-local number)."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    base = docs.select(
+        "doc_id",
+        _page_lines(_words_col(F.col("text")), F.col("doc_id"))
+        .alias("lines"))
+
+    def line_wc(l):
+        return F.size(F.filter(F.split(l, " "), lambda x: x != ""))
+
+    kept = F.filter(
+        F.col("lines"),
+        lambda l: F.substring(l, -1, 1).isin(".", "!", "?", "…")
+        & (line_wc(l) >= 5))
+    chars = (lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)))
+    retained = chars(kept) / chars(F.col("lines"))
+    return base.select(
+        "doc_id",
+        F.size(F.col("lines")).alias("n_lines"),
+        F.size(kept).alias("kept_lines"),
+        F.round(retained, 6).alias("retained_char_frac"),
+        (F.size(kept) >= 3).alias("passes_c4"))
+
+
+SQL_C4_LINE_FILTERS = f"""
+WITH p AS ({_PAGE_SQL}),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+           l -> right(l, 1) IN ('.', '!', '?', '…')
+                AND len(list_filter(string_split(l, ' '), x -> x <> ''))
+                    >= 5) AS kept
+  FROM p)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept) AS kept_lines,
+       round(coalesce(list_sum(list_transform(kept, x -> len(x))), 0)
+             / (1.0 * list_sum(list_transform(lines, x -> len(x)))), 6)
+         AS retained_char_frac,
+       len(kept) >= 3 AS passes_c4
+FROM k
+"""
+
+
 def q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 — content hash (vector-sink merge key)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
@@ -1546,6 +1876,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
     "minhash_near_dup": q_minhash_near_dup,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
@@ -1564,6 +1895,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_filters": q_repetition_filters,
+    "gopher_quality": q_gopher_quality,
+    "c4_line_filters": q_c4_line_filters,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "sha256_hash": q_sha256,
     "interleaved_spans": q_interleaved_spans,
     "html_links": q_html_links,
@@ -1585,6 +1919,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
@@ -1603,6 +1938,9 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_filters": SQL_REPETITION_FILTERS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "c4_line_filters": SQL_C4_LINE_FILTERS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "sha256_hash": SQL_SHA256,
     "interleaved_spans": SQL_INTERLEAVED_SPANS,
     "html_links": SQL_HTML_LINKS,

@@ -39,6 +39,8 @@ HEADLINE = [
     "meta_gate", "media_pipeline", "robots_gate", "serp_collect",
     "text_clean",
     "pii_mask", "doc_fingerprint", "repetition_filters",
+    "gopher_quality", "c4_line_filters", "tfidf_top_terms",
+    "dedup_clusters", "lang_id",
     "interleaved_spans", "html_links", "html_main_md", "doc_metadata",
     "tpch_q1", "topk_per_group", "broadcast_join_agg",
     "events_tumbling", "sessionize",

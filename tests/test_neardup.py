@@ -80,3 +80,64 @@ def test_block_keys_deterministic(spark):
         neardup.words_col(F.col("text"))).alias("k")).collect()[0].k
     assert list(k1) == list(k2)
     assert len(k1) == 2 and k1[0] != k1[1]  # distinct permutations
+
+
+# --------------------------------------------------------------------------
+# Connected components (dedup clusters)
+# --------------------------------------------------------------------------
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {}
+    for v in {x for e in edges for x in e}:
+        r = find(v)
+        while parent[r] != r:
+            r = parent[r]
+        labels[v] = min(u for u in range(n_nodes)
+                        if find(u) == r)
+    return labels
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in (sorted(rng.sample(range(n), 2))
+                                 for _ in range(45))})
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r.doc_id: r.cluster_id
+           for r in neardup.connected_components(edf).collect()}
+    assert got == _uf_components(n, edges)
+
+
+def test_connected_components_chain_and_maxiter(spark):
+    # a 12-node path exercises multi-round propagation (diameter 11)
+    edges = [(i, i + 1) for i in range(11)]
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r.doc_id: r.cluster_id
+           for r in neardup.connected_components(edf).collect()}
+    assert got == {i: 0 for i in range(12)}
+    import pytest
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        neardup.connected_components(edf, max_iter=2)
+
+
+def test_bucket_star_edges_shape(spark):
+    bands = spark.createDataFrame(
+        [(5, 0, "k"), (9, 0, "k"), (2, 0, "k"), (7, 1, "z")],
+        "doc_id long, band int, band_key string")
+    got = {(r.a, r.b) for r in neardup.bucket_star_edges(bands).collect()}
+    # each member → bucket min; singleton bucket emits nothing
+    assert got == {(5, 2), (9, 2)}
