@@ -8,6 +8,7 @@ see SURVEY.md §4.3.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -55,6 +56,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # managed tables (the bucketed seen-table path, operators/
+        # bucketed.py) land in a temp warehouse, never the repo cwd
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("AXORA_WAREHOUSE",
+                               os.path.join(tempfile.gettempdir(),
+                                            "axora_spark_warehouse")))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("AXORA_DRIVER_MEM", "16g"))

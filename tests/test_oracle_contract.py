@@ -23,7 +23,9 @@ SF_DIR = "/root/testdata/sf0.001"
 SUBSET = ["frontier_filters", "politeness_rank", "quality_scores",
           "token_counts", "dedup_exact", "minhash_near_dup",
           "interleaved_spans", "cosine_topk", "tpch_q1", "sessionize",
-          "html_main_md", "ngram_jaccard", "robots_gate", "pii_mask"]
+          "html_main_md", "ngram_jaccard", "robots_gate", "pii_mask",
+          "dedup_clusters", "gopher_quality", "c4_line_filters",
+          "tfidf_top_terms"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -43,7 +45,7 @@ def test_registry_complete():
     # oracle (the non-SQL-expressible ones via fixture tables,
     # tools/make_fixtures.py), so the driver hash-checks all of them
     assert set(ORACLES) == set(QUERIES)
-    assert len(QUERIES) >= 34
+    assert len(QUERIES) >= 40
 
 
 @pytest.mark.parametrize("name", SUBSET)

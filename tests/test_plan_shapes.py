@@ -171,3 +171,27 @@ def test_repetition_filters_map_only(spark):
     import re
     hash_exchanges = re.findall(r"Exchange (?:hash|range)partitioning", plan)
     assert hash_exchanges == []
+
+
+def test_gopher_c4_map_only_no_udf(spark):
+    # the quality-signal suites must stay native column algebra: no
+    # Python boundary, and the only exchange is the input-spread
+    # repartition (single-row-group sandbox files), never a shuffle the
+    # operator itself requires
+    from axora_spark.queries import q_c4_line_filters, q_gopher_quality
+    for q in (q_gopher_quality, q_c4_line_filters):
+        plan = _physical(q(spark, SF))
+        assert "ArrowEvalPython" not in plan and \
+            "BatchEvalPython" not in plan
+        assert plan.count("Exchange") <= 1
+
+
+def test_bucket_star_edges_no_pair_blowup(spark):
+    # star-edge construction must aggregate then join — no self-join of
+    # bands against bands (the O(members²) shape)
+    from axora_spark.operators import neardup
+    from axora_spark.queries import q_minhash_signature
+    bands = neardup.band_buckets(q_minhash_signature(spark, SF))
+    plan = _optimized(neardup.bucket_star_edges(bands))
+    # one aggregate (bucket min) feeding one join
+    assert plan.count("Join") == 1

