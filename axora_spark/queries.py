@@ -650,6 +650,121 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+_PQ_M = 4          # subspaces (64-dim fixture → 16 dims each)
+_PQ_SUB = 16       # dims per subspace
+_PQ_K = 8          # codewords per subspace = the 8 "trained" rows
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): encode each vector
+    as M per-subspace codeword ids (argmin squared-L2 to the subspace
+    codebook), answer the query by Asymmetric Distance Computation —
+    sum over subspaces of the PRECOMPUTED query→codeword distance —
+    and return the approximate top-10. Codebook = the subvectors of
+    rows 1..K (deterministic stand-in for k-means training, same
+    convention as the IVF centroids); the query is row 0.
+
+    Why this operator matters at 100 TB: the encoded table stores
+    M bytes per vector instead of 4·D (64× compression here), and the
+    serving scan is additions over an M×K lookup table — no float dot
+    products against raw vectors at all. Scale shape: encoding is a
+    broadcast K-row cross join + one groupBy-min per vector (narrow,
+    single aggregation exchange); ADC is a map-side 4-way broadcast
+    join against the M×K query-distance table; top-k is
+    TakeOrderedAndProject. Distances round to 6dp with codeword-id
+    tie-breaks so the cut is engine-stable."""
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+
+    def sub(col: Column, m: int) -> Column:
+        return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
+
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.round(F.aggregate(
+            F.zip_with(dbl(a), dbl(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v), 6)
+
+    cents = (emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K))
+             .select(F.col("vec_id").alias("cw"),
+                     F.col("embedding").alias("cemb")))
+    qv = emb.filter(F.col("vec_id") == 0) \
+            .select(F.col("embedding").alias("qe"))
+
+    # M×K query→codeword distance lookup table (K rows, tiny)
+    qd = (cents.crossJoin(F.broadcast(qv))
+          .select("cw", *[l2sq(sub(F.col("qe"), m), sub(F.col("cemb"), m))
+                          .alias(f"qd{m}") for m in range(_PQ_M)]))
+
+    # encode: per subspace, the codeword with min (distance, id)
+    base = emb.filter(F.col("vec_id") > _PQ_K)
+    scored = (base.crossJoin(F.broadcast(cents))
+              .select("vec_id", "cw",
+                      *[l2sq(sub(F.col("embedding"), m),
+                             sub(F.col("cemb"), m)).alias(f"d{m}")
+                        for m in range(_PQ_M)]))
+    enc = scored.groupBy("vec_id").agg(
+        *[F.min(F.struct(F.col(f"d{m}"), F.col("cw")))["cw"]
+          .alias(f"code{m}") for m in range(_PQ_M)])
+
+    # ADC: 4 broadcast joins against the lookup table
+    res = enc
+    for m in range(_PQ_M):
+        res = res.join(
+            F.broadcast(qd.select(F.col("cw").alias(f"code{m}"),
+                                  F.col(f"qd{m}"))), f"code{m}")
+    adc = F.round(sum(F.col(f"qd{m}") for m in range(_PQ_M)), 6)
+    return (res.select("vec_id",
+                       *[F.col(f"code{m}") for m in range(_PQ_M)],
+                       adc.alias("pq_dist"))
+            .orderBy(F.col("pq_dist").asc(), F.col("vec_id")).limit(10))
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    return (f"round(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+            f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), 6)")
+
+
+def _sql_sub(col: str, m: int) -> str:
+    return f"list_slice({col}, {m * _PQ_SUB + 1}, {(m + 1) * _PQ_SUB})"
+
+
+SQL_ANN_PQ_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cw, embedding AS cemb FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {_PQ_K}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qd AS (
+  SELECT cw,
+         {", ".join(f"{_sql_l2sq(_sql_sub('qe', m), _sql_sub('cemb', m))} AS qd{m}"
+                    for m in range(_PQ_M))}
+  FROM cents, q),
+scored AS (
+  SELECT e.vec_id, c.cw,
+         {", ".join(f"{_sql_l2sq(_sql_sub('e.embedding', m), _sql_sub('c.cemb', m))} AS d{m}"
+                    for m in range(_PQ_M))}
+  FROM embeddings e, cents c WHERE e.vec_id > {_PQ_K}),
+ranked AS (
+  SELECT vec_id, cw,
+         {", ".join(f"row_number() OVER (PARTITION BY vec_id ORDER BY d{m}, cw) AS rn{m}"
+                    for m in range(_PQ_M))}
+  FROM scored),
+enc AS (
+  SELECT vec_id,
+         {", ".join(f"max(CASE WHEN rn{m} = 1 THEN cw END) AS code{m}"
+                    for m in range(_PQ_M))}
+  FROM ranked GROUP BY vec_id)
+SELECT enc.vec_id,
+       {", ".join(f"enc.code{m}" for m in range(_PQ_M))},
+       round({" + ".join(f"t{m}.qd{m}" for m in range(_PQ_M))}, 6)
+         AS pq_dist
+FROM enc
+{chr(10).join(f"JOIN qd t{m} ON t{m}.cw = enc.code{m}"
+              for m in range(_PQ_M))}
+ORDER BY pq_dist ASC, enc.vec_id LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis (quality, tokens, language, fingerprint)
 # --------------------------------------------------------------------------
@@ -1499,6 +1614,64 @@ FROM k
 """
 
 
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed plan — the shape a
+    real corpus build materializes as its audit table: per document, the
+    verdict of every stage (quality score F7, Gopher quality signals,
+    exact-dedup keeper, near-dup cluster keeper, token-count window) and
+    the final keep bit (AND of all five).
+
+    Composition IS the point: each stage is the same operator that runs
+    standalone (q_quality_scores, q_gopher_quality, q_dedup_clusters,
+    q_token_counts), joined back on doc_id — keyed shuffle joins that
+    AQE plans independently per stage. A 100-TB run would persist each
+    stage's verdict column and this query is their join, so corpus-build
+    reruns only recompute stages whose config changed."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    qual = q_quality_scores(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("passes_quality"))
+    gop = q_gopher_quality(spark, sf_dir).select("doc_id", "passes_gopher")
+    clus = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", (F.col("cluster_id") == F.col("doc_id"))
+        .alias("is_cluster_keeper"))
+    tok = q_token_counts(spark, sf_dir).select(
+        "doc_id", F.col("in_window").alias("tokens_in_window"))
+    wmin = Window.partitionBy(F.sha2(F.col("text"), 256))
+    exact = docs.select(
+        "doc_id", (F.col("doc_id") == F.min("doc_id").over(wmin))
+        .alias("is_exact_keeper"))
+    out = (exact.join(qual, "doc_id").join(gop, "doc_id")
+           .join(clus, "doc_id").join(tok, "doc_id"))
+    keep = (F.col("passes_quality") & F.col("passes_gopher")
+            & F.col("is_exact_keeper") & F.col("is_cluster_keeper")
+            & F.col("tokens_in_window"))
+    return out.select("doc_id", "passes_quality", "passes_gopher",
+                      "is_exact_keeper", "is_cluster_keeper",
+                      "tokens_in_window", keep.alias("keep"))
+
+
+# each stage's published SQL nests as a parenthesized derived table
+# (DuckDB allows WITH / WITH RECURSIVE inside a subquery)
+SQL_PIPELINE_FUNNEL = f"""
+SELECT d.doc_id,
+       q.passes AS passes_quality,
+       g.passes_gopher,
+       (d.doc_id = ek.keeper) AS is_exact_keeper,
+       (c.cluster_id = c.doc_id) AS is_cluster_keeper,
+       t.in_window AS tokens_in_window,
+       (q.passes AND g.passes_gopher AND d.doc_id = ek.keeper
+        AND c.cluster_id = c.doc_id AND t.in_window) AS keep
+FROM documents d
+JOIN ({SQL_QUALITY_SCORES}) q USING (doc_id)
+JOIN ({SQL_GOPHER_QUALITY}) g USING (doc_id)
+JOIN ({SQL_DEDUP_CLUSTERS}) c ON c.doc_id = d.doc_id
+JOIN ({SQL_TOKEN_COUNTS}) t USING (doc_id)
+JOIN (SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+      FROM documents) ek ON ek.doc_id = d.doc_id
+"""
+
+
 def q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 — content hash (vector-sink merge key)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
@@ -1882,6 +2055,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
@@ -1898,6 +2072,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "c4_line_filters": q_c4_line_filters,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "pipeline_funnel": q_pipeline_funnel,
     "sha256_hash": q_sha256,
     "interleaved_spans": q_interleaved_spans,
     "html_links": q_html_links,
@@ -1925,6 +2100,7 @@ ORACLES = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_pq_topk": SQL_ANN_PQ_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "quality_scores": SQL_QUALITY_SCORES,
     "token_counts": SQL_TOKEN_COUNTS,
@@ -1941,6 +2117,7 @@ ORACLES = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "c4_line_filters": SQL_C4_LINE_FILTERS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "sha256_hash": SQL_SHA256,
     "interleaved_spans": SQL_INTERLEAVED_SPANS,
     "html_links": SQL_HTML_LINKS,

@@ -35,6 +35,7 @@ HEADLINE = [
     "frontier_filters", "politeness_rank", "seen_antijoin", "dedup_exact",
     "minhash_signature", "minhash_near_dup", "simhash", "ngram_jaccard",
     "embedding_near_dup", "cosine_topk", "ann_lsh_buckets", "ann_ivf_topk",
+    "ann_pq_topk", "pipeline_funnel",
     "quality_scores", "token_counts", "wordpiece_tokens", "chunk_pipeline",
     "meta_gate", "media_pipeline", "robots_gate", "serp_collect",
     "text_clean",

@@ -195,3 +195,12 @@ def test_bucket_star_edges_no_pair_blowup(spark):
     plan = _optimized(neardup.bucket_star_edges(bands))
     # one aggregate (bucket min) feeding one join
     assert plan.count("Join") == 1
+
+
+def test_ann_pq_take_ordered_and_broadcast(spark):
+    # PQ serving path: top-k must be TakeOrderedAndProject (never a
+    # global sort) and the codebook/lookup joins must all broadcast
+    from axora_spark.queries import q_ann_pq_topk
+    plan = _physical(q_ann_pq_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
