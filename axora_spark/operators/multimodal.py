@@ -91,6 +91,7 @@ def fetch_media(media: DataFrame) -> DataFrame:
                 payload=payloads,
                 content_type=[("image/png" if r.endswith(".png")
                                else "image/svg+xml" if r.endswith(".svg")
+                               else "video/mp4" if r.endswith(".mp4")
                                else "application/octet-stream")
                               for r in pdf["media_ref"]],
                 n_bytes=[len(p) for p in payloads])
@@ -119,6 +120,66 @@ def extract_media_features(fetched_media: DataFrame,
             })
 
     return fetched_media.mapInPandas(run, schema=MEDIA_FEATURES)
+
+
+FRAME_SAMPLES = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("frame_index", T.IntegerType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("frame", T.BinaryType(), False),
+])
+
+
+def _probe_stub(payload: bytes) -> int:
+    """STUB — stands in for an ffprobe duration read. Deterministic
+    duration_ms from the payload header; real deployment replaces the
+    body with `ffmpeg.probe(...)['format']['duration']`."""
+    if len(payload) < 3:
+        raise NotImplementedError("payload too short to probe")
+    return 1000 * (1 + payload[2] % 8)          # 1s .. 8s
+
+
+def _frame_stub(payload: bytes, ts_ms: int) -> bytes:
+    """STUB — stands in for a frame grab at ts_ms (no ffmpeg in this
+    container). Deterministic bytes from (payload, ts)."""
+    return hashlib.sha256(payload + ts_ms.to_bytes(8, "big")).digest()
+
+
+def sample_frames(fetched_media: DataFrame, every_ms: int = 500,
+                  max_frames: int = 8) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp
+    (0, every_ms, 2·every_ms, … < duration, capped at max_frames);
+    non-video media pass through as a single frame at ts 0. The
+    fan-OUT lives inside mapInPandas — each Arrow batch yields MORE
+    rows than it consumed, which is the shape a real ffmpeg frame
+    grabber needs (per-row explode would re-decode the container once
+    per frame). Downstream feature extraction runs per frame with the
+    same extract_media_features plumbing."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "media_ref", "frame_index", "ts_ms", "frame")}
+            for doc_id, ref, ctype, payload in zip(
+                    pdf["doc_id"], pdf["media_ref"],
+                    pdf["content_type"], pdf["payload"]):
+                payload = bytes(payload)
+                if ctype is not None and ctype.startswith("video/"):
+                    duration = _probe_stub(payload)
+                    stamps = range(0, duration, every_ms)
+                else:
+                    stamps = (0,)
+                for i, ts in enumerate(stamps):
+                    if i >= max_frames:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["frame_index"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["frame"].append(_frame_stub(payload, ts))
+            yield pd.DataFrame(out)
+
+    return fetched_media.mapInPandas(run, schema=FRAME_SAMPLES)
 
 
 def resize_plan(features: DataFrame, max_side: int = 256) -> DataFrame:

@@ -74,3 +74,41 @@ def test_stub_contracts():
     assert w >= 64 and h >= 64
     v = _feature_stub(b"payload")
     assert v.shape == (64,)
+
+
+def test_sample_frames_fanout(spark):
+    from axora_spark.operators.multimodal import sample_frames
+    rows = [("d1", "https://cdn/v.mp4", 0),
+            ("d2", "https://cdn/x.png", 5)]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, offset int")
+    fetched = fetch_media(media)
+    frames = sample_frames(fetched, every_ms=500, max_frames=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # image → exactly one frame at ts 0
+    assert len(by_doc["d2"]) == 1 and by_doc["d2"][0].ts_ms == 0
+    # video → one frame per 500ms of stub duration, capped at 8
+    v = sorted(by_doc["d1"], key=lambda r: r.frame_index)
+    assert 1 <= len(v) <= 8
+    assert [r.ts_ms for r in v] == [i * 500 for i in range(len(v))]
+    # frames are deterministic non-empty bytes, distinct per timestamp
+    blobs = [bytes(r.frame) for r in v]
+    assert all(blobs) and len(set(blobs)) == len(blobs)
+    # rerun is bit-identical (stub determinism)
+    again = sample_frames(fetch_media(media), every_ms=500,
+                          max_frames=8).collect()
+    assert sorted((r.doc_id, r.frame_index, bytes(r.frame))
+                  for r in again) == \
+        sorted((r.doc_id, r.frame_index, bytes(r.frame)) for r in frames)
+
+
+def test_sample_frames_cap(spark):
+    from axora_spark.operators.multimodal import sample_frames
+    media = spark.createDataFrame(
+        [("d1", "https://cdn/v.mp4", 0)],
+        "doc_id string, media_ref string, offset int")
+    frames = sample_frames(fetch_media(media), every_ms=100,
+                           max_frames=3).collect()
+    assert len(frames) == 3  # stub duration ≥1000ms → cap binds
