@@ -210,6 +210,48 @@ class SnapshotCatalog:
                   .select(*df.columns))
         return self.overwrite(spark, name, merged)
 
+    def compact(self, spark: SparkSession, name: str,
+                n_files: int | None = None) -> int:
+        """Rewrite the CURRENT table state into one consolidated data dir
+        (Iceberg's `rewrite_data_files`). A crawl appends one dir per
+        wave per table; after thousands of waves every read opens
+        thousands of directories and the manifest union dominates scan
+        planning. Compaction makes the current snapshot a single dir;
+        HISTORY stays readable (old snapshots keep their dir lists and
+        their files — nothing is deleted here; see expire_snapshots).
+        `n_files` coalesces the rewrite (None keeps the plan's
+        partitioning)."""
+        df = self.read(spark, name)
+        if n_files is not None:
+            df = df.coalesce(n_files)
+        new_dir, n, n_parts = self._write_data(name, df)
+        return self._commit(name, df, [], "compact", n, n_parts, new_dir)
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
+        """Drop snapshot history older than the last `keep_last` entries
+        and DELETE data dirs no surviving snapshot references (Iceberg's
+        `expire_snapshots`): bounds metadata and disk for a long-running
+        crawl. The current snapshot always survives; time travel and
+        rollback beyond the horizon become errors by design. Returns the
+        number of data dirs removed."""
+        import shutil
+        meta = self._load_meta(name)
+        snaps = meta["snapshots"]
+        if not snaps:
+            return 0
+        kept = snaps[-max(keep_last, 1):]
+        if meta["current"] is not None and \
+                all(s["id"] != meta["current"] for s in kept):
+            kept = [s for s in snaps if s["id"] == meta["current"]] + kept
+            kept.sort(key=lambda s: s["id"])
+        live = {d for s in kept for d in s["dirs"]}
+        dead = {d for s in snaps for d in s["dirs"]} - live
+        for d in sorted(dead):
+            shutil.rmtree(d, ignore_errors=True)
+        meta["snapshots"] = kept
+        self._store_meta(name, meta)
+        return len(dead)
+
     def rollback(self, name: str, snapshot_id: int | None) -> None:
         """Point `current` at an older snapshot; None = the empty table
         (pre-first-commit state) — used by mid-wave crash recovery."""

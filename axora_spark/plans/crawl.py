@@ -150,7 +150,8 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
               content_sink=None,
               robots_txt: dict[str, str] | None = None,
               seen_filter_kind: str = "bloom",
-              fetcher=None) -> CrawlRun:
+              fetcher=None,
+              compact_every: int | None = None) -> CrawlRun:
     """Run (or resume) a crawl session to completion.
 
     corpus: fixture corpus (raw-HTML or pre-parsed; see sources.fetch),
@@ -166,6 +167,12 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
     cfg.robots_mode (north_rule target mode): disallowed URLs are dropped
     from the candidate set (never admitted, never marked seen), and a
     host's crawl-delay overrides its politeness budget (SEMANTICS.md).
+    compact_every: every N completed waves, compact the `seen` table
+    (the one table that grows by one data dir per wave — after
+    thousands of waves its reads would open thousands of dirs).
+    Compaction only ADDS a consolidated snapshot, so mid-wave crash
+    rollback to pre-compaction lineage snapshots stays valid; history
+    expiry (catalog.expire_snapshots) is a separate offline decision.
     """
     robots_rules = None
     budget_overrides: dict[str, int] = {}
@@ -339,6 +346,10 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                       "done": frontier_meta["n_rows"] == 0})
         _save_state(catalog, state)
         run.waves_run = wave
+
+        if compact_every and wave % compact_every == 0 and \
+                catalog.current_snapshot("seen") is not None:
+            catalog.compact(spark, "seen")
 
         if stop_after_wave is not None and wave > stop_after_wave:
             break

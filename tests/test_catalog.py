@@ -85,3 +85,40 @@ def test_merge_with_unorderable_metadata_struct(spark, catalog):
     assert len(got) == 1
     assert got[0].url == "https://h/0"  # min over orderable url
     assert got[0].metadata.title == "T"
+
+
+def test_compact_preserves_state_and_history(spark, catalog):
+    catalog.create_table("t", T.StructType(
+        [T.StructField("k", T.LongType()),
+         T.StructField("v", T.StringType())]))
+    for i in range(4):
+        catalog.append(spark, "t", spark.createDataFrame(
+            [(i, f"v{i}")], "k long, v string"))
+    pre = sorted((r.k, r.v) for r in catalog.read(spark, "t").collect())
+    pre_sid = catalog.current_snapshot("t")
+    sid = catalog.compact(spark, "t")
+    meta_dirs = [s for s in catalog.snapshots("t") if s["id"] == sid][0]
+    assert len(meta_dirs["dirs"]) == 1  # the whole point
+    assert sorted((r.k, r.v)
+                  for r in catalog.read(spark, "t").collect()) == pre
+    # history still time-travels (compaction deletes nothing)
+    old = catalog.read(spark, "t", snapshot_id=pre_sid)
+    assert sorted((r.k, r.v) for r in old.collect()) == pre
+
+
+def test_expire_snapshots_bounds_disk(spark, catalog):
+    import os
+    catalog.create_table("t", T.StructType(
+        [T.StructField("k", T.LongType())]))
+    for i in range(5):
+        catalog.append(spark, "t", spark.createDataFrame(
+            [(i,)], "k long"))
+    catalog.compact(spark, "t")
+    removed = catalog.expire_snapshots("t", keep_last=1)
+    assert removed == 5  # the five pre-compaction append dirs
+    assert len(catalog.snapshots("t")) == 1
+    got = sorted(r.k for r in catalog.read(spark, "t").collect())
+    assert got == [0, 1, 2, 3, 4]
+    # expired data dirs are gone from disk
+    data_root = os.path.join(catalog.root, "t", "data")
+    assert len(os.listdir(data_root)) == 1

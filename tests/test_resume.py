@@ -75,3 +75,19 @@ def test_resume_mid_wave_crash(spark, catalog, cfg, fixture_pages):
     seen = {r.url for r in catalog.read(spark, "seen").collect()}
     assert seen == want.seen
     assert not any("partial" in u for u in seen)
+
+
+def test_compact_every_preserves_crawl(spark, catalog, cfg, fixture_pages):
+    """Per-wave seen-table compaction must not change crawl results, and
+    the final seen snapshot must be a single consolidated dir."""
+    corpus = spark.createDataFrame(fixture_pages, schemas.LINK_GRAPH)
+    want = oracle.simulate(fixture_pages, cfg)
+    crawl.run_crawl(spark, catalog, cfg, corpus, compact_every=1)
+    got = sorted(r.url for r in catalog.read(spark, "seen").collect())
+    assert got == sorted(want.seen)
+    assert len(catalog.snapshots("seen")[-1]["dirs"]) == 1
+    # and a post-hoc expiry keeps only live data on disk
+    removed = catalog.expire_snapshots("seen", keep_last=1)
+    assert removed > 0
+    assert sorted(r.url for r in
+                  catalog.read(spark, "seen").collect()) == got
