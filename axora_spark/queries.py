@@ -1371,23 +1371,29 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = ln(N / df) over distinct-doc frequency) — the classic corpus
     statistic a training-data pipeline logs for topic drift monitoring.
 
-    Scale shape: explode → two keyed aggregations (term-per-doc counts,
-    then df per term) + a broadcast-sized term-df join ONLY if the
-    vocabulary is small; here df comes back via a shuffle join on term
+    Scale shape: per-doc word count rides ALONG the explode (it is
+    known before the fan-out — a window over doc_id after the explode
+    would re-shuffle corpus-token rows for a number the scan already
+    had); term-per-doc counts are one keyed aggregation; document
+    frequency comes from THAT aggregate's output (tf already has one
+    row per (doc, term), so df = count per term — no distinct over the
+    raw token stream); df joins back via a shuffle join on term
     (vocabulary is unbounded at web scale — never broadcast it), then a
-    per-doc top-k window. Ranking is on round(score, 9) with a term
-    tie-break so the two engines' libm ulp differences cannot reorder
-    the cut (same guard the politeness ranker uses for floats)."""
+    per-doc top-k window over the small tf table. Ranking is on
+    round(score, 9) with a term tie-break so the two engines' libm ulp
+    differences cannot reorder the cut (same guard the politeness
+    ranker uses for floats)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
     n_docs = docs.count()  # tiny scalar, known up front (count of corpus)
-    terms = docs.select(
-        "doc_id", F.explode(_words_col(F.col("text"))).alias("term"))
+    # words materialized in their OWN projection: size() and explode()
+    # then reference one column attribute, so the regex split runs once
+    # per row (the _shingles_col / CollapseProject lesson)
+    terms = (docs.select("doc_id", _words_col(F.col("text")).alias("words"))
+             .select("doc_id", F.size("words").alias("wc"),
+                     F.explode("words").alias("term")))
     tf = (terms.groupBy("doc_id", "term")
-          .agg(F.count("*").alias("cnt"))
-          .withColumn("wc", F.sum("cnt").over(
-              Window.partitionBy("doc_id"))))
-    df_tbl = (terms.distinct().groupBy("term")
-              .agg(F.count("*").alias("df")))
+          .agg(F.count("*").alias("cnt"), F.min("wc").alias("wc")))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (tf.join(df_tbl, "term")
               .withColumn("score",
                           F.round((F.col("cnt") / F.col("wc"))

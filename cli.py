@@ -39,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
                    default="bloom", help="sharded seen-filter kind")
     p.add_argument("--bloom-threshold", type=int, default=100_000)
+    p.add_argument("--compact-every", type=int, default=None,
+                   help="compact the seen table every N waves "
+                        "(Iceberg rewrite_data_files; catalog.compact)")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -66,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
         content_sink=content.make_content_sink(cfg) if args.content else None,
         robots_txt=datagen.fixture_robots() if args.robots else None,
         seen_filter_kind=args.seen_filter,
-        bloom_threshold=args.bloom_threshold)
+        bloom_threshold=args.bloom_threshold,
+        compact_every=args.compact_every)
 
     summary = {
         "waves": run.waves_run,
