@@ -2011,6 +2011,105 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_event_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion within one hour, per user: first click
+    timestamp, whether a purchase followed inside the window, and the
+    exact microsecond latency of the earliest qualifying purchase.
+
+    Scale shape: two keyed aggregations on user_id sharing one exchange
+    (first-click min, then the conditional min over joined purchases);
+    the purchase side joins on user_id — keyed, AQE-skew-splittable,
+    never a time-range cross join. Latency stays in integer
+    microseconds (unix_micros both engines) so no float drift."""
+    ev = _t(spark, sf_dir, "events", spread=True)
+    first_click = (ev.filter(F.col("event_type") == "click")
+                   .groupBy("user_id")
+                   .agg(F.min("ts").alias("first_click")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("pts")))
+    hour_us = 3_600_000_000
+    joined = (first_click.join(purchases, "user_id", "left")
+              .withColumn("lat",
+                          # parquet gives TIMESTAMP_NTZ; session TZ is
+                          # UTC so the cast changes type, not instant
+                          F.unix_micros(F.col("pts").cast("timestamp"))
+                          - F.unix_micros(
+                              F.col("first_click").cast("timestamp")))
+              .withColumn("ok", (F.col("lat") > 0) & (F.col("lat") <= hour_us)))
+    return (joined.groupBy("user_id", "first_click")
+            .agg(F.max(F.coalesce("ok", F.lit(False))).alias("converted"),
+                 F.min(F.when(F.col("ok"), F.col("lat")))
+                 .alias("micros_to_purchase"))
+            .select("user_id", "first_click", "converted",
+                    "micros_to_purchase"))
+
+
+SQL_EVENT_CONVERSION = """
+WITH fc AS (
+  SELECT user_id, min(ts) AS first_click FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+j AS (
+  SELECT fc.user_id, fc.first_click,
+         date_diff('microsecond', fc.first_click, p.ts) AS lat
+  FROM fc LEFT JOIN (SELECT user_id, ts FROM events
+                     WHERE event_type = 'purchase') p USING (user_id))
+SELECT user_id, first_click,
+       coalesce(max(lat > 0 AND lat <= 3600000000), false) AS converted,
+       min(CASE WHEN lat > 0 AND lat <= 3600000000 THEN lat END)
+         AS micros_to_purchase
+FROM j GROUP BY user_id, first_click
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily signup cohorts with day-1 / day-7 retention: cohort = date
+    of the user's first `signup` event; a user is retained at +N days
+    iff they produced ANY event on exactly that date.
+
+    Scale shape: distinct (user, day) activity first (collapses the raw
+    event volume to user-days BEFORE the join), then a keyed join on
+    user_id and two date-equality flags folded in one aggregation —
+    no per-day subqueries, no cross join of cohorts × days. Cohort
+    dates emit as strings so both engines hash identically (pandas
+    renders Spark DATE as datetime.date but DuckDB DATE as Timestamp)."""
+    ev = _t(spark, sf_dir, "events", spread=True)
+    cohorts = (ev.filter(F.col("event_type") == "signup")
+               .groupBy("user_id")
+               .agg(F.min(F.to_date("ts")).alias("cohort")))
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    flags = (cohorts.join(active, "user_id")
+             .groupBy("user_id", "cohort")
+             .agg(F.max(F.col("d") == F.date_add("cohort", 1))
+                  .alias("r1"),
+                  F.max(F.col("d") == F.date_add("cohort", 7))
+                  .alias("r7")))
+    return (flags.groupBy("cohort")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum(F.col("r1").cast("long")).alias("retained_d1"),
+                 F.sum(F.col("r7").cast("long")).alias("retained_d7"))
+            .select(F.date_format("cohort", "yyyy-MM-dd")
+                    .alias("cohort_date"),
+                    "n_users", "retained_d1", "retained_d7"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH c AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (
+  SELECT c.user_id, c.cohort,
+         max(a.d = c.cohort + 1) AS r1,
+         max(a.d = c.cohort + 7) AS r7
+  FROM c JOIN a USING (user_id) GROUP BY c.user_id, c.cohort)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+       count(*) AS n_users,
+       CAST(sum(r1::int) AS BIGINT) AS retained_d1,
+       CAST(sum(r7::int) AS BIGINT) AS retained_d7
+FROM f GROUP BY cohort
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
     ev = _t(spark, sf_dir, "events")
@@ -2089,6 +2188,8 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "broadcast_join_agg": q_broadcast_join_agg,
     "events_tumbling": q_events_tumbling,
+    "event_conversion": q_event_conversion,
+    "retention_cohorts": q_retention_cohorts,
     "sessionize": q_sessionize,
 }
 
@@ -2134,5 +2235,7 @@ ORACLES = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "event_conversion": SQL_EVENT_CONVERSION,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "sessionize": SQL_SESSIONIZE,
 }

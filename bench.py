@@ -44,7 +44,8 @@ HEADLINE = [
     "dedup_clusters", "lang_id",
     "interleaved_spans", "html_links", "html_main_md", "doc_metadata",
     "tpch_q1", "topk_per_group", "broadcast_join_agg",
-    "events_tumbling", "sessionize",
+    "events_tumbling", "sessionize", "event_conversion",
+    "retention_cohorts",
 ]
 
 CRAWL_FRONTIER_N = int(os.environ.get("AXORA_BENCH_FRONTIER_N", 2_000_000))
