@@ -1950,6 +1950,97 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analogue (shipping priority): 3-way join with filters on
+    every input, per-order revenue, top-10. The fixture has no
+    o_shippriority, so o_orderpriority stands in.
+
+    Scale shape: all three filters reach the parquet scans (pushed
+    predicates), the two fact-fact joins shuffle on their keys, and the
+    top-10 over rounded revenue with an orderkey tie-break is
+    TakeOrderedAndProject — the cut is engine-stable because per-order
+    revenue sums a handful of terms and ties break on the unique key."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.round(F.sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))), 2))
+    return (cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("o_orderdate") < "1996-01-01")
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter(F.col("l_shipdate") > "1996-01-01")
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue (local supplier volume): 6-way join — customer,
+    orders, lineitem, supplier (with the c_nationkey = s_nationkey
+    locality constraint), nation, region — revenue per nation in ASIA
+    for one order year.
+
+    Scale shape: region/nation/supplier are broadcast dims (AQE picks
+    the broadcast; supplier stays broadcast-able because the region
+    filter prunes it through the nation join), the orders date filter
+    pushes to the scan, and the fact-side joins shuffle on orderkey/
+    custkey. This is the canonical join-reordering showcase — Catalyst
+    starts from the selective region filter, not the declared order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = (F.round(F.sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))), 2))
+    return (cust
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .filter((F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1997-01-01"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(reg),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .filter(F.col("r_name") == "ASIA")
+            .groupBy("n_name")
+            .agg(rev.alias("revenue")))
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per brand by retail price (the W1 window pattern)."""
     part = _t(spark, sf_dir, "part")
@@ -2185,6 +2276,8 @@ QUERIES = {
     "doc_metadata": q_doc_metadata,
     "serp_collect": q_serp_collect,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "topk_per_group": q_topk_per_group,
     "broadcast_join_agg": q_broadcast_join_agg,
     "events_tumbling": q_events_tumbling,
@@ -2232,6 +2325,8 @@ ORACLES = {
     "doc_metadata": SQL_DOC_METADATA,
     "serp_collect": SQL_SERP_COLLECT,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
     "events_tumbling": SQL_EVENTS_TUMBLING,

@@ -43,7 +43,8 @@ HEADLINE = [
     "gopher_quality", "c4_line_filters", "tfidf_top_terms",
     "dedup_clusters", "lang_id",
     "interleaved_spans", "html_links", "html_main_md", "doc_metadata",
-    "tpch_q1", "topk_per_group", "broadcast_join_agg",
+    "tpch_q1", "tpch_q3", "tpch_q5", "topk_per_group",
+    "broadcast_join_agg",
     "events_tumbling", "sessionize", "event_conversion",
     "retention_cohorts",
 ]

@@ -204,3 +204,15 @@ def test_ann_pq_take_ordered_and_broadcast(spark):
     plan = _physical(q_ann_pq_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_dates(spark):
+    # the 6-way join must broadcast the dimension side and push the
+    # order-date range to the scan; the region filter must not survive
+    # as a post-join filter over the fact rows
+    from axora_spark.queries import q_tpch_q5
+    df = q_tpch_q5(spark, SF)
+    phys = _physical(df)
+    assert "BroadcastHashJoin" in phys
+    assert "PushedFilters: [IsNotNull(o_orderdate), " in phys or \
+        "GreaterThanOrEqual(o_orderdate" in phys
