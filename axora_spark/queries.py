@@ -2102,6 +2102,93 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour event statistics at every event: count
+    and average `value` over the RANGE frame [ts-1h, ts].
+
+    Scale shape: one keyed window (shuffle on user_id, in-partition
+    range scan) — the canonical time-range frame. Sums run in integer
+    cents (`value` is 2-decimal) so frame-internal float summation
+    order can't produce cross-engine ulp drift; the average divides
+    two exact integers at the end."""
+    ev = _t(spark, sf_dir, "events", spread=True)
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_id", "user_id", sec.alias("es"),
+                     cents.alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("es")
+         .rangeBetween(-3600, 0))
+    return (base.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("cents").over(w) / 100.0
+                / F.count("*").over(w), 6).alias("avg_value_1h")))
+
+
+SQL_MOVING_WINDOW = """
+WITH b AS (
+  SELECT event_id, user_id,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', ts) / 1000000.0
+           AS es,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(cents) OVER w / 100.0 / count(*) OVER w, 6)
+         AS avg_value_1h
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (o_orderpriority, o_orderstatus): revenue subtotals at
+    every level plus the grand total — the OLAP cube primitive. Totals
+    run in integer cents (o_totalprice is 2-decimal) so the rolled-up
+    grand total is exactly the sum of its parts in both engines."""
+    orders = _t(spark, sf_dir, "orders", spread=True)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (orders.select("o_orderpriority", "o_orderstatus",
+                          cents.alias("cents"))
+            .rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("cents") / 100.0, 2).alias("revenue")))
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of `value` per event_type (percentile_cont
+    interpolation — identical formula both engines). Exact percentiles
+    shuffle each group's values to one aggregation; at true scale the
+    approx_percentile sketch (t-digest) replaces this per-column —
+    same query shape, mergeable partial aggregates."""
+    ev = _t(spark, sf_dir, "events", spread=True)
+    def pct(p):
+        return F.round(F.expr(f"percentile(value, {p})"), 6)
+    return (ev.groupBy("event_type")
+            .agg(pct(0.5).alias("p50"), pct(0.9).alias("p90"),
+                 pct(0.99).alias("p99")))
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_event_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase conversion within one hour, per user: first click
     timestamp, whether a purchase followed inside the window, and the
@@ -2281,6 +2368,9 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "broadcast_join_agg": q_broadcast_join_agg,
     "events_tumbling": q_events_tumbling,
+    "moving_window": q_moving_window,
+    "rollup_orders": q_rollup_orders,
+    "value_percentiles": q_value_percentiles,
     "event_conversion": q_event_conversion,
     "retention_cohorts": q_retention_cohorts,
     "sessionize": q_sessionize,
@@ -2330,6 +2420,9 @@ ORACLES = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "moving_window": SQL_MOVING_WINDOW,
+    "rollup_orders": SQL_ROLLUP_ORDERS,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
     "event_conversion": SQL_EVENT_CONVERSION,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "sessionize": SQL_SESSIONIZE,

@@ -46,7 +46,8 @@ HEADLINE = [
     "tpch_q1", "tpch_q3", "tpch_q5", "topk_per_group",
     "broadcast_join_agg",
     "events_tumbling", "sessionize", "event_conversion",
-    "retention_cohorts",
+    "retention_cohorts", "moving_window", "rollup_orders",
+    "value_percentiles",
 ]
 
 CRAWL_FRONTIER_N = int(os.environ.get("AXORA_BENCH_FRONTIER_N", 2_000_000))
