@@ -219,6 +219,9 @@ class SnapshotCatalog:
         planning. Compaction makes the current snapshot a single dir;
         HISTORY stays readable (old snapshots keep their dir lists and
         their files — nothing is deleted here; see expire_snapshots).
+        A crash-rollback to a pre-compaction snapshot is CONTENT-equal
+        (compaction rewrites the same rows), so losing the compaction
+        on rollback costs only the consolidation, never data.
         `n_files` coalesces the rewrite (None keeps the plan's
         partitioning)."""
         df = self.read(spark, name)
@@ -227,23 +230,31 @@ class SnapshotCatalog:
         new_dir, n, n_parts = self._write_data(name, df)
         return self._commit(name, df, [], "compact", n, n_parts, new_dir)
 
-    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
+    def expire_snapshots(self, name: str, keep_last: int = 1,
+                         protect_ids: set[int] | None = None) -> int:
         """Drop snapshot history older than the last `keep_last` entries
         and DELETE data dirs no surviving snapshot references (Iceberg's
         `expire_snapshots`): bounds metadata and disk for a long-running
         crawl. The current snapshot always survives; time travel and
         rollback beyond the horizon become errors by design. Returns the
-        number of data dirs removed."""
+        number of data dirs removed.
+
+        protect_ids: snapshot ids that must also survive — for a table
+        managed by the crawl loop, pass the ids the LINEAGE table still
+        references (plans/crawl.expire_history does this), otherwise a
+        crash-resume that rolls back to a lineage snapshot this call
+        expired would raise `unknown snapshot` and the crawl becomes
+        unresumable."""
         import shutil
         meta = self._load_meta(name)
         snaps = meta["snapshots"]
         if not snaps:
             return 0
-        kept = snaps[-max(keep_last, 1):]
-        if meta["current"] is not None and \
-                all(s["id"] != meta["current"] for s in kept):
-            kept = [s for s in snaps if s["id"] == meta["current"]] + kept
-            kept.sort(key=lambda s: s["id"])
+        keep_ids = set(protect_ids or ())
+        if meta["current"] is not None:
+            keep_ids.add(meta["current"])
+        keep_ids.update(s["id"] for s in snaps[-max(keep_last, 1):])
+        kept = [s for s in snaps if s["id"] in keep_ids]
         live = {d for s in kept for d in s["dirs"]}
         dead = {d for s in snaps for d in s["dirs"]} - live
         for d in sorted(dead):

@@ -197,9 +197,12 @@ def _subtree_text_lens(root: _Node) -> dict[int, tuple[int, int]]:
     _BOILERPLATE pruned. Replaces the per-candidate _text_of rescans that
     made extract_main O(depth²) — a 10k-deep div chain (10k candidates ×
     10k-node text walks = 10^8 visits) would stall the parse task rather
-    than fail it. Lengths are raw (pre-whitespace-collapse): raw lengths
-    are additive bottom-up, collapsed ones aren't; the link-density SIGNAL
-    is the same and the fixture round-trip pins the selection outcomes."""
+    than fail it. Lengths count NON-WHITESPACE characters: the count is
+    additive bottom-up (collapsed lengths aren't), a whitespace-only
+    wrapper scores exactly 0 (so it can never beat the body fallback —
+    raw lengths let indentation text nodes promote empty wrappers), and
+    markup indentation can't inflate a nav-heavy div's own-text score
+    relative to its link text."""
     lens: dict[int, tuple[int, int]] = {}
     # frame: (node, child-iterator, [own_chars, link_chars], in_link)
     stack = [(root, iter(root.children), [0, 0], False)]
@@ -208,7 +211,7 @@ def _subtree_text_lens(root: _Node) -> dict[int, tuple[int, int]]:
         descended = False
         for c in it:
             if isinstance(c, str):
-                acc[1 if in_link else 0] += len(c)
+                acc[1 if in_link else 0] += len(_WS_RE.sub("", c))
             elif c.tag not in _BOILERPLATE:
                 stack.append((c, iter(c.children), [0, 0],
                               in_link or c.tag == "a"))

@@ -165,8 +165,14 @@ def sample_frames(fetched_media: DataFrame, every_ms: int = 500,
                     pdf["content_type"], pdf["payload"]):
                 payload = bytes(payload)
                 if ctype is not None and ctype.startswith("video/"):
-                    duration = _probe_stub(payload)
-                    stamps = range(0, duration, every_ms)
+                    try:
+                        duration = _probe_stub(payload)
+                    except NotImplementedError:
+                        # un-probe-able container: degrade PER ROW (zero
+                        # frames), same policy as fetch errors — one
+                        # malformed payload must never fail the task
+                        continue
+                    stamps: range | tuple = range(0, duration, every_ms)
                 else:
                     stamps = (0,)
                 for i, ts in enumerate(stamps):

@@ -135,14 +135,21 @@ def robots_filter(df: DataFrame, rules_by_host: dict[str, HostRules],
     def allowed(url: pd.Series, host: pd.Series) -> pd.Series:
         import numpy as np
         table = bc.value
-        paths = url.map(lambda u: urlnorm.path_of(u or "") or "/")
         out = pd.Series(True, index=url.index)
-        for h in pd.unique(host.fillna("")):
-            entry = table.get(h)
-            if entry is None:
-                continue  # no rules → allowed (already True)
-            mask = (host.fillna("") == h).to_numpy()
-            p = paths[mask]
+        hf = host.fillna("")  # filled ONCE, not per distinct host
+        # parse URL→path ONLY for rows whose host has rules at all: at
+        # web scale rule-less hosts dominate and those rows are already
+        # True (code-review r3: the batch-wide parse was the remaining
+        # avoidable per-row constant)
+        ruled = hf.isin(table)
+        if not ruled.any():
+            return out
+        sub_hosts = hf[ruled]
+        sub_paths = url[ruled].map(
+            lambda u: urlnorm.path_of(u or "") or "/")
+        for h in pd.unique(sub_hosts):
+            entry = table[h]
+            p = sub_paths[(sub_hosts == h).to_numpy()]
             ca, cd = _compiled_rules(entry[0], entry[1])
             best_a = np.full(len(p), -1)
             best_d = np.full(len(p), -1)
@@ -152,7 +159,7 @@ def robots_filter(df: DataFrame, rules_by_host: dict[str, HostRules],
             for ln, rx in cd:
                 m = p.str.match(rx.pattern).to_numpy(dtype=bool)
                 best_d = np.where(m, np.maximum(best_d, ln), best_d)
-            out[mask] = best_a >= best_d
+            out.loc[p.index] = best_a >= best_d
         return out
 
     return df.filter(allowed(F.col(url_col), F.col(host_col)))

@@ -104,6 +104,26 @@ def _record_lineage(spark: SparkSession, catalog: SnapshotCatalog, wave: int,
                    spark.createDataFrame(rows, schemas.LINEAGE))
 
 
+def expire_history(spark: SparkSession, catalog: SnapshotCatalog,
+                   table: str, keep_last: int = 1) -> int:
+    """Resume-safe snapshot expiry for crawl-managed tables: protects
+    every snapshot id the lineage table still references for `table`
+    (those are crash-rollback targets — expiring one would make
+    `resume=True` raise `unknown snapshot`), then delegates to
+    catalog.expire_snapshots. Use this, not the raw catalog call, for
+    any table in _MANAGED_TABLES."""
+    from pyspark.sql import functions as F
+    protect: set[int] = set()
+    if catalog.table_exists("lineage") and \
+            catalog.current_snapshot("lineage") is not None:
+        rows = (catalog.read(spark, "lineage")
+                .filter(F.col("table") == table)
+                .select("snapshot_id").distinct().collect())
+        protect = {int(r[0]) for r in rows}
+    return catalog.expire_snapshots(table, keep_last=keep_last,
+                                    protect_ids=protect)
+
+
 # every table a wave mutates — the rollback set for mid-wave crash recovery
 _MANAGED_TABLES = ("frontier", "seen", "admitted", "metrics",
                    "documents", "chunks", "vectors")

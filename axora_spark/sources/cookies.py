@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from axora_spark.catalog import SnapshotCatalog
 from axora_spark.operators.urls import url_hash
-from axora_spark.sources.fetch import FETCHED_RAW
+from axora_spark.sources.fetch import FETCHED_RAW, fetch_stage
 
 # (url, presented_cookie | None) -> (status, body | None, set_cookie | None)
 CookieTransport = Callable[[str, str | None],
@@ -68,38 +68,20 @@ def attach_cookies(admitted: DataFrame, jar: DataFrame) -> DataFrame:
 def fetch_http_cookies(admitted: DataFrame, wave: int,
                        transport: CookieTransport,
                        n_threads: int = 8) -> DataFrame:
-    """S3 fetch with the jar in the loop: same mapInPandas shape as
-    sources.fetch.fetch_http, but the transport receives the row's stored
-    cookie and the output carries the response's Set-Cookie. Narrow stage
-    (no shuffle); errors degrade to status/NULL rows exactly like
-    fetch_http."""
-    import pandas as pd  # noqa: F401
-
-    cols = ["url", "host", "depth"]
+    """S3 fetch with the jar in the loop: the SAME fetch_stage core as
+    sources.fetch.fetch_http (one implementation of the threading /
+    OnError contract — code-review r3 removed the near-copy), with the
+    row's stored cookie as an extra transport input and the response's
+    Set-Cookie as an extra output column."""
     src = admitted if "cookie" in admitted.columns else \
         admitted.withColumn("cookie", F.lit(None).cast("string"))
 
-    def _fetch(batches):
-        from concurrent.futures import ThreadPoolExecutor
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pairs = list(zip(pdf["url"],
-                             [c if isinstance(c, str) else None
-                              for c in pdf["cookie"]]))
-            with ThreadPoolExecutor(max_workers=max(1, n_threads)) as ex:
-                results = list(ex.map(lambda p: transport(p[0], p[1]),
-                                      pairs))
-            out = pdf[cols].copy()
-            out["wave"] = wave
-            out["http_status"] = [r[0] for r in results]
-            out["body_html"] = [r[1] if r[0] == 200 else None
-                                for r in results]
-            out["set_cookie"] = [r[2] for r in results]
-            yield out
+    def call(url, cookie):
+        return transport(url, cookie if isinstance(cookie, str) else None)
 
-    return (src.select(*cols, "cookie")
-            .mapInPandas(_fetch, schema=FETCHED_COOKIES))
+    return fetch_stage(src.select("url", "host", "depth", "cookie"),
+                       wave, ["url", "cookie"], call, ["set_cookie"],
+                       FETCHED_COOKIES, n_threads)
 
 
 def update_cookie_jar(catalog: SnapshotCatalog, spark: SparkSession,

@@ -76,35 +76,44 @@ def dict_transport(pages: dict[str, str]) -> Transport:
     return _get
 
 
-def fetch_http(admitted: DataFrame, wave: int,
-               transport: Transport | None = None,
-               n_threads: int = 8) -> DataFrame:
-    """The real S3 stage: admitted(url, host, depth) → FETCHED_RAW rows via
-    mapInPandas. A thread pool inside each Arrow batch overlaps request
-    latency (the reference runs 3 async workers/domain; per-host pacing is
-    already enforced upstream by W1, so threads here only hide latency,
-    never violate politeness)."""
-    import pandas as pd  # noqa: F401
-
-    tp = transport or default_transport()
-
+def fetch_stage(src: DataFrame, wave: int, in_cols: list[str], call,
+                out_extra: list[str], schema, n_threads: int) -> DataFrame:
+    """Shared S3 mapInPandas core (ONE implementation of the fetch
+    contract — fetch_http and the cookie-aware S7 stage both build on
+    it): threaded per-row `call(*row_vals) -> (status, body, *extras)`,
+    OnError mapping (non-200 → NULL body, row kept), wave stamp. A
+    thread pool inside each Arrow batch overlaps request latency (the
+    reference runs 3 async workers/domain; per-host pacing is already
+    enforced upstream by W1, so threads here only hide latency, never
+    violate politeness). Narrow stage, no shuffle."""
     def _fetch(batches):
         from concurrent.futures import ThreadPoolExecutor
         for pdf in batches:
-            urls = list(pdf["url"])
-            if not urls:
+            if pdf.empty:
                 continue
+            args = list(zip(*[pdf[c] for c in in_cols]))
             with ThreadPoolExecutor(max_workers=max(1, n_threads)) as ex:
-                results = list(ex.map(tp, urls))
+                results = list(ex.map(lambda a: call(*a), args))
             out = pdf[["url", "host", "depth"]].copy()
             out["wave"] = wave
             out["http_status"] = [r[0] for r in results]
             out["body_html"] = [r[1] if r[0] == 200 else None
                                 for r in results]
+            for i, name in enumerate(out_extra):
+                out[name] = [r[2 + i] for r in results]
             yield out
 
-    return (admitted.select("url", "host", "depth")
-            .mapInPandas(_fetch, schema=FETCHED_RAW))
+    return src.mapInPandas(_fetch, schema=schema)
+
+
+def fetch_http(admitted: DataFrame, wave: int,
+               transport: Transport | None = None,
+               n_threads: int = 8) -> DataFrame:
+    """The real S3 stage: admitted(url, host, depth) → FETCHED_RAW rows
+    (see fetch_stage for the execution shape)."""
+    tp = transport or default_transport()
+    return fetch_stage(admitted.select("url", "host", "depth"), wave,
+                       ["url"], tp, [], FETCHED_RAW, n_threads)
 
 
 def corpus_from_link_graph(link_graph: DataFrame) -> DataFrame:

@@ -326,8 +326,17 @@ def collect_serp(spark: SparkSession, queries: list[str] | DataFrame,
         if page == max_pages:
             break  # W3: cap reached, don't probe further
         active = fetched.filter(F.col("has_next")).select("query")
-        if active.isEmpty():
+        # re-size to the SURVIVING query count: filter inherits the
+        # original partitioning, so by late pages a handful of live
+        # queries would otherwise fan out over the page-1 partition
+        # count — the exact idle-python-worker pathology the initial
+        # sizing avoids (code-review r3). count() reads the
+        # already-checkpointed wave, so it costs no re-fetch.
+        n_active = active.count()
+        if n_active == 0:
             break
+        active = active.repartition(
+            max(1, math.ceil(n_active / queries_per_task)))
         page += 1
 
     from functools import reduce

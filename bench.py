@@ -154,12 +154,16 @@ def main():
     reps = int(os.environ.get("AXORA_BENCH_REPS", "2"))
     per_query: dict[str, float] = {}
     total = 0.0
+    # t0 wraps df_for() as well: queries with EAGER work at plan-build
+    # time (dedup_clusters' localCheckpoint+count fixpoint loop,
+    # serp_collect's wave loop, pipeline_funnel's embedded CC) would
+    # otherwise do almost everything before the clock starts and report
+    # near-zero times (code-review r3 finding)
     for name in HEADLINE:
         secs = []
         for _ in range(reps):
-            df = df_for(name)
             t0 = time.time()
-            materialize(df)
+            materialize(df_for(name))
             secs.append(time.time() - t0)
         dt = min(secs)
         per_query[name] = round(dt, 3)

@@ -112,3 +112,21 @@ def test_sample_frames_cap(spark):
     frames = sample_frames(fetch_media(media), every_ms=100,
                            max_frames=3).collect()
     assert len(frames) == 3  # stub duration ≥1000ms → cap binds
+
+
+def test_sample_frames_malformed_video_degrades_per_row(spark):
+    # a video payload too short to probe yields ZERO frames for that row
+    # only; siblings in the same Arrow batch are unaffected
+    from axora_spark.operators.multimodal import FRAME_SAMPLES, sample_frames
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    rows = [("bad", "https://cdn/broken.mp4", "video/mp4", b"x"),
+            ("good", "https://cdn/ok.png", "image/png", b"0123")]
+    fetched = spark.createDataFrame(rows, schema)
+    out = sample_frames(fetched).collect()
+    assert {r.doc_id for r in out} == {"good"}

@@ -91,3 +91,19 @@ def test_compact_every_preserves_crawl(spark, catalog, cfg, fixture_pages):
     assert removed > 0
     assert sorted(r.url for r in
                   catalog.read(spark, "seen").collect()) == got
+
+
+def test_resume_after_compact_and_expiry(spark, catalog, cfg, fixture_pages):
+    """Crash → compact + resume-safe expiry → resume must still work and
+    finish with the uninterrupted run's final state (the raw
+    catalog.expire_snapshots would delete lineage rollback targets;
+    crawl.expire_history protects them)."""
+    corpus = spark.createDataFrame(fixture_pages, schemas.LINK_GRAPH)
+    want = oracle.simulate(fixture_pages, cfg)
+    crawl.run_crawl(spark, catalog, cfg, corpus, stop_after_wave=1,
+                    compact_every=1)
+    crawl.expire_history(spark, catalog, "seen", keep_last=1)
+    crawl.run_crawl(spark, catalog, cfg, corpus, resume=True,
+                    compact_every=1)
+    got = sorted(r.url for r in catalog.read(spark, "seen").collect())
+    assert got == sorted(want.seen)
