@@ -1487,10 +1487,16 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shuffle. Gates evaluate on RAW fractions; displayed fractions are
     rounded to 6dp (same contract as repetition_filters)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
-    did = F.col("doc_id")
-    w = _words_col(F.col("text"))
-    base = docs.select(
-        "doc_id", _page_lines(w, did).alias("lines"), w.alias("words"))
+    # words materialized FIRST: _page_lines' transform lambda slices the
+    # words array per line element, and handing it the split EXPRESSION
+    # re-runs the regex split once per line (the _shingles_col lesson —
+    # confirmed in the dumped physical plan); a column attribute is
+    # evaluated once per row
+    base = (docs.select("doc_id", _words_col(F.col("text")).alias("words"))
+            .select("doc_id",
+                    _page_lines(F.col("words"), F.col("doc_id"))
+                    .alias("lines"),
+                    "words"))
     page = F.array_join(F.col("lines"), "\n")
     wc = F.size(F.col("words"))
     tot_chars = F.aggregate(F.col("words"), F.lit(0).cast("long"),
@@ -1577,10 +1583,12 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside codegen, no explode (the per-line explode+groupBy alternative
     shuffles corpus-linecount rows to recompute a row-local number)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
-    base = docs.select(
-        "doc_id",
-        _page_lines(_words_col(F.col("text")), F.col("doc_id"))
-        .alias("lines"))
+    # words → own projection first (see q_gopher_quality: hands
+    # _page_lines an attribute, not the split expression)
+    base = (docs.select("doc_id", _words_col(F.col("text")).alias("words"))
+            .select("doc_id",
+                    _page_lines(F.col("words"), F.col("doc_id"))
+                    .alias("lines")))
 
     def line_wc(l):
         return F.size(F.filter(F.split(l, " "), lambda x: x != ""))

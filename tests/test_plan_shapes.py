@@ -216,3 +216,13 @@ def test_tpch_q5_broadcasts_dims_and_pushes_dates(spark):
     assert "BroadcastHashJoin" in phys
     assert "PushedFilters: [IsNotNull(o_orderdate), " in phys or \
         "GreaterThanOrEqual(o_orderdate" in phys
+
+
+def test_page_lines_single_split(spark):
+    # _page_lines must reference the words ATTRIBUTE: handing it the
+    # split expression re-ran the regex split once per generated line
+    # (caught via PLANS.md; same class as the _shingles_col fix)
+    from axora_spark.queries import q_c4_line_filters, q_gopher_quality
+    for q in (q_gopher_quality, q_c4_line_filters):
+        plan = _physical(q(spark, SF))
+        assert plan.count("split(trim(") == 1
