@@ -44,10 +44,14 @@ def sentence_count(text: Column) -> Column:
     return F.greatest(F.size(F.split(text, r"[.!?]+")), F.lit(1))
 
 
-def quality_score(text: Column) -> Column:
-    wc = word_count(text)
-    dwc = distinct_word_count(text)
-    sc = sentence_count(text)
+def score_from_counts(wc: Column, dwc: Column, sc: Column) -> Column:
+    """Score from already-computed counts. Multi-column consumers (the
+    quality_scores driver query) materialize wc/dwc/sc as attribute
+    columns first and derive score/gate from THOSE: the text-composed
+    quality_score(text) embeds the splits in every consuming column,
+    and HOF expression trees are interpreted (no codegen CSE), so a
+    5-column select re-ran the regex split 22× per row (PLANS.md
+    audit)."""
     richness = dwc.cast("double") / F.when(wc == 0, F.lit(1)).otherwise(wc)
     avg_sentence = wc.cast("double") / sc
 
@@ -62,6 +66,12 @@ def quality_score(text: Column) -> Column:
                .otherwise(F.lit(1.0)))
     return (F.lit(0.50) * length_s + F.lit(0.30) * rich_s
             + F.lit(0.20) * sent_s) * F.lit(100.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Single-expression form — for one-use positions (the F7 filter)."""
+    return score_from_counts(word_count(text), distinct_word_count(text),
+                             sentence_count(text))
 
 
 def quality_gate(text: Column, threshold: float = 67.0) -> Column:

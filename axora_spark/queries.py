@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from axora_spark.operators.embed import cosine_similarity
-from axora_spark.functions.quality import (distinct_word_count, quality_score,
+from axora_spark.functions.quality import (distinct_word_count,
+                                           score_from_counts,
                                            sentence_count, word_count)
 from axora_spark.operators.chunking import token_count_col
 
@@ -201,22 +202,31 @@ FROM documents GROUP BY sha256(text)
 N_MINHASH = 8
 
 
-def _shingles_col(text: Column) -> Column:
-    """Word 3-gram shingles; < 3 words → empty array.
+def _shingles_of_words(w: Column) -> Column:
+    """Word 3-gram shingles from a WORDS column; < 3 words → empty array.
 
     Formulated as zip_with over three slices (NOT element_at inside a
     transform lambda): lambda bodies that reference an outer *expression*
     make Catalyst re-evaluate that expression per array element — with the
     words-split inlined that was O(n_shingles) regex splits per row. All
     array expressions here sit in argument position → evaluated once per
-    row."""
-    w = _words_col(text)
+    row. Pass a column ATTRIBUTE (words materialized in its own
+    projection), not the split expression: `w` appears 6× below and HOF
+    argument trees are interpreted, so repeated expressions re-evaluate
+    (no codegen CSE inside CodegenFallback — confirmed via PLANS.md)."""
     n = F.greatest(F.size(w) - 2, F.lit(0))
     s1 = F.slice(w, F.lit(1), n)
     s2 = F.slice(w, F.lit(2), n)
     s3 = F.slice(w, F.lit(3), n)
     pair = F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.zip_with(pair, s3, lambda ab, c: F.concat(ab, F.lit(" "), c))
+
+
+def _shingles_col(text: Column) -> Column:
+    """Shingles straight from text — only for single-use expression
+    positions; multi-stage plans should materialize words + shingles in
+    their own projections (see q_minhash_signature)."""
+    return _shingles_of_words(_words_col(text))
 
 
 _SHINGLES_SQL = f"""
@@ -235,13 +245,23 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 1 hashed every shingle 8× (sha256(shingle∥'#'∥i) per
     permutation) — 16.9s at sf0.1 under the honest noop-sink bench; the
-    digest-slice family needs one hash. The digest array is materialized
-    in its OWN projection so the 8 slice-mins reference a column attribute
-    (CollapseProject keeps non-cheap multi-use expressions un-inlined —
-    the round-1 shingle re-evaluation lesson, see _shingles_col)."""
+    digest-slice family needs one hash. Every stage is materialized in
+    its OWN projection (words → shingles → digests → sig) so each is
+    referenced as a column attribute. Two pushdown traps defeated here
+    (both caught via PLANS.md — each silently recomputed the WHOLE
+    sha256 pipeline in a pre-Exchange Filter):
+      * the emptiness filter runs on size(words) >= 3 — filtering on
+        size(sh) > 0 lets pushdown substitute the full shingle tree
+        into the filter;
+      * the explode is posexplode_OUTER — a plain posexplode makes
+        InferFiltersFromGenerate add size(sig) > 0, whose pushdown
+        inlines the digest pipeline (sig is always length-8 here, so
+        outer ≡ inner)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
-    sh = docs.select("doc_id", _shingles_col(F.col("text")).alias("sh")) \
-             .filter(F.size("sh") > 0)
+    words = (docs.select("doc_id", _words_col(F.col("text")).alias("w"))
+             .filter(F.size("w") >= 3))
+    sh = words.select("doc_id",
+                      _shingles_of_words(F.col("w")).alias("sh"))
     hashed = sh.select(
         "doc_id",
         F.transform(F.col("sh"), lambda s: F.sha2(s, 256)).alias("hs"))
@@ -256,7 +276,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[_slice_min(i * 8 + 1)
                   for i in range(N_MINHASH)]).alias("sig"))
     return sig.select("doc_id",
-                      F.posexplode("sig").alias("perm", "minhash"))
+                      F.posexplode_outer("sig").alias("perm", "minhash"))
 
 
 SQL_MINHASH_SIGNATURE = f"""
@@ -815,16 +835,22 @@ SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 + A1–A3 on the documents table — the engine's own native exprs."""
+    """F7 + A1–A3 on the documents table — the engine's own native exprs.
+    Counts materialize once as attribute columns; score and gate derive
+    from those (see quality.score_from_counts — the single-select form
+    re-ran the split 22× per row)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         word_count(t).alias("wc"),
         distinct_word_count(t).alias("dwc"),
-        sentence_count(t).alias("sc"),
-        F.round(quality_score(t), 6).alias("score"),
-        (quality_score(t) >= 67.0).alias("passes"))
+        sentence_count(t).alias("sc"))
+    score = score_from_counts(F.col("wc"), F.col("dwc"), F.col("sc"))
+    return base.select(
+        "doc_id", "wc", "dwc", "sc",
+        F.round(score, 6).alias("score"),
+        (score >= 67.0).alias("passes"))
 
 
 SQL_QUALITY_SCORES = f"""
@@ -1231,13 +1257,21 @@ SQL_LANG_ID = _lang_id_sql()
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min sha256 over word-3-gram shingles (a
-    1-permutation minhash — rolling-hash analog, SURVEY extension)."""
+    1-permutation minhash — rolling-hash analog, SURVEY extension).
+    Shingles materialize in their own projection: the single-select form
+    repeated the shingle tree 3× (size / transform / branch) and HOF
+    trees are interpreted — each textual repeat re-evaluated (PLANS.md
+    audit)."""
     docs = _t(spark, sf_dir, "documents", spread=True)
-    sh = _shingles_col(F.col("text"))
-    return docs.select(
+    sh = (docs.select("doc_id", "text",
+                      _words_col(F.col("text")).alias("w"))
+          .select("doc_id", "text",
+                  _shingles_of_words(F.col("w")).alias("sh")))
+    return sh.select(
         "doc_id",
-        F.when(F.size(sh) > 0,
-               F.array_min(F.transform(sh, lambda s: F.sha2(s, 256))))
+        F.when(F.size("sh") > 0,
+               F.array_min(F.transform(F.col("sh"),
+                                       lambda s: F.sha2(s, 256))))
          .otherwise(F.sha2(F.col("text"), 256)).alias("fingerprint"))
 
 

@@ -226,3 +226,22 @@ def test_page_lines_single_split(spark):
     for q in (q_gopher_quality, q_c4_line_filters):
         plan = _physical(q(spark, SF))
         assert plan.count("split(trim(") == 1
+
+
+def test_minhash_sig_single_hash_pipeline(spark):
+    # two pushdown traps recomputed the whole sha256 pipeline in a
+    # pre-Exchange Filter: size(sh)>0 filter substitution, and
+    # InferFiltersFromGenerate on a non-outer posexplode. The fixed plan
+    # hashes once and splits ≤3× (words filter pushdown + projection).
+    from axora_spark.queries import q_minhash_signature
+    plan = _physical(q_minhash_signature(spark, SF))
+    assert plan.count("sha2") == 1
+    assert plan.count("split(trim(") <= 3
+
+
+def test_quality_scores_layered_counts(spark):
+    # counts live in attribute columns; the single-select form re-ran
+    # the split 22x per row (interpreted HOF trees have no CSE)
+    from axora_spark.queries import q_quality_scores
+    plan = _physical(q_quality_scores(spark, SF))
+    assert plan.count("split(") <= 4
