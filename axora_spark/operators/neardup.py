@@ -52,13 +52,22 @@ def block_keys_minword(ws: Column, n_keys: int = 2) -> Column:
 
 
 def _keyed_word_sets(docs: DataFrame, n_keys: int) -> DataFrame:
-    sets = docs.select(
-        F.col("doc_id"),
-        F.array_distinct(words_col(F.col("text"))).alias("ws"))
-    return (sets.filter(F.size("ws") > 0)
-            .select("doc_id", "ws",
-                    F.explode(block_keys_minword(F.col("ws"), n_keys))
-                    .alias("bk")))
+    # stagewise attribute materialization + explode_OUTER: filtering on
+    # size(ws) lets pushdown substitute the distinct-words tree into a
+    # pre-Exchange filter, and a plain explode makes
+    # InferFiltersFromGenerate inline the sha256-per-word key
+    # computation into an inferred size(keys)>0 predicate (the keys
+    # array is always length n_keys, so outer ≡ inner; the empty-words
+    # filter runs on the cheap split instead)
+    sets = (docs.select(F.col("doc_id"),
+                        words_col(F.col("text")).alias("w"))
+            .filter(F.size("w") > 0)
+            .select("doc_id", F.array_distinct(F.col("w")).alias("ws")))
+    keyed = sets.select(
+        "doc_id", "ws",
+        block_keys_minword(F.col("ws"), n_keys).alias("keys"))
+    return (keyed.select("doc_id", "ws",
+                         F.explode_outer("keys").alias("bk")))
 
 
 def _jac(a: Column, b: Column, round_to: int) -> Column:

@@ -1210,16 +1210,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang), 'und' if all zero. (The driver corpus is synthetic so hits are
     sparse — the operator contract is what's tested.)"""
     docs = _t(spark, sf_dir, "documents", spread=True)
-    w = _words_col(F.lower(F.col("text")))
+    # words materialize once: the per-language marker filters each embed
+    # the split otherwise (~8 splits/row, interpreted — PLANS.md audit)
+    base = docs.select(
+        "doc_id", "lang", "text",
+        _words_col(F.lower(F.col("text"))).alias("w"))
     score_cols = []
     for lang, markers in sorted(_LANG_MARKERS.items()):
-        s = F.size(F.filter(w, lambda x: x.isin(*markers)))
+        s = F.size(F.filter(F.col("w"), lambda x: x.isin(*markers)))
         score_cols.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
     zh = sum((F.length("text") - F.length(F.translate(F.col("text"), m, "")))
              for m in _ZH_MARKERS).cast("int")
     score_cols.append(F.struct(zh.alias("score"), F.lit("zh").alias("lang")))
     best = F.array_max(F.array(*score_cols))
-    return docs.select(
+    return base.select(
         "doc_id", F.col("lang").alias("labeled_lang"),
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
          .alias("predicted_lang"))
