@@ -96,7 +96,11 @@ def ngram_jaccard_dedup(docs: DataFrame, threshold: float = 0.8,
     it swallows that pair. Where full recall matters, iterate: re-block
     the survivors (docs with no dup_of) and run again, or use
     ngram_jaccard_pairs (with max_block) for exhaustive pair output."""
-    keyed = _keyed_word_sets(docs, n_keys)
+    # keyed feeds both the leader aggregation and the candidate join;
+    # exchange reuse does not bridge self-join branches (verified on the
+    # minhash path — each branch carried the full sha256 key pipeline),
+    # so materialize it once
+    keyed = _keyed_word_sets(docs, n_keys).localCheckpoint(eager=False)
     leaders = keyed.groupBy("bk").agg(
         F.min("doc_id").alias("leader"),
         F.min_by("ws", "doc_id").alias("lws"))
@@ -119,7 +123,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     """All qualifying pairs within min-word blocks (exploratory shape;
     output is inherently O(pairs)). max_block caps degenerate blocks —
     REQUIRED at scale; None only for small exact studies."""
-    keyed = _keyed_word_sets(docs, n_keys)
+    keyed = _keyed_word_sets(docs, n_keys).localCheckpoint(eager=False)
     if max_block is not None:
         sizes = keyed.groupBy("bk").agg(F.count("*").alias("_bsz"))
         keyed = (keyed.join(sizes, "bk")

@@ -311,6 +311,13 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str,
     if sig is None:
         sig = q_minhash_signature(spark, sf_dir)
     bands = neardup.band_buckets(sig, rows_per_band=2)
+    # compute the band table ONCE for the self-join: Spark's exchange
+    # reuse does not fire across these two branches (verified in the
+    # executed plan — both sides carried a full signature pipeline), so
+    # the standalone form materializes bands lazily and shares it, the
+    # same compute-once shape the crawl/bench path gets from the
+    # persisted signature
+    bands = bands.localCheckpoint(eager=False)
     return neardup.lsh_candidate_pairs(bands, max_bucket=max_bucket)
 
 
@@ -354,7 +361,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id, matching the exact-dedup keeper rule."""
     from axora_spark.operators import neardup
     sig = q_minhash_signature(spark, sf_dir)
-    bands = neardup.band_buckets(sig, rows_per_band=2)
+    bands = (neardup.band_buckets(sig, rows_per_band=2)
+             .localCheckpoint(eager=False))  # see q_minhash_near_dup
     edges = neardup.bucket_star_edges(bands)
     comp = neardup.connected_components(edges)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1430,7 +1438,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", F.size("words").alias("wc"),
                      F.explode("words").alias("term")))
     tf = (terms.groupBy("doc_id", "term")
-          .agg(F.count("*").alias("cnt"), F.min("wc").alias("wc")))
+          .agg(F.count("*").alias("cnt"), F.min("wc").alias("wc"))
+          # tf feeds BOTH the df aggregation and the scored join;
+          # exchange reuse does not bridge the branches (see
+          # q_minhash_near_dup), so materialize it once
+          .localCheckpoint(eager=False))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (tf.join(df_tbl, "term")
               .withColumn("score",
