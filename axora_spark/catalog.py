@@ -129,11 +129,21 @@ class SnapshotCatalog:
         n_parts = sum(1 for f in os.listdir(sid_dir) if f.startswith("part-"))
         return sid_dir, n, n_parts
 
-    def append(self, spark: SparkSession, name: str, df: DataFrame) -> int:
-        """Fast-append: writes only the new rows."""
+    def append(self, spark: SparkSession, name: str, df: DataFrame,
+               skip_empty: bool = False) -> int:
+        """Fast-append: writes only the new rows. skip_empty=True avoids
+        committing a snapshot (and an empty data dir) when df has no
+        rows — a long-running keyed ingest whose batches are mostly
+        replays would otherwise grow one dir per batch forever; the
+        current snapshot id is returned unchanged in that case."""
         meta = self._load_meta(name)
         parent_dirs = self._dirs_for(meta, None)
         new_dir, n, n_parts = self._write_data(name, df)
+        if skip_empty and n == 0:
+            import shutil
+            shutil.rmtree(new_dir, ignore_errors=True)
+            cur = meta["current"]
+            return cur if cur is not None else 0
         return self._commit(name, df, parent_dirs, "append", n, n_parts, new_dir)
 
     def overwrite(self, spark: SparkSession, name: str, df: DataFrame) -> int:
@@ -178,7 +188,7 @@ class SnapshotCatalog:
         else:
             collapsed = df.dropDuplicates([key])
         fresh = collapsed.join(existing, on=key, how="left_anti")
-        return self.append(spark, name, fresh)
+        return self.append(spark, name, fresh, skip_empty=True)
 
     def merge_upsert_latest(self, spark: SparkSession, name: str,
                             df: DataFrame, key: str, order_col: str) -> int:

@@ -106,9 +106,17 @@ def extract_media_features(fetched_media: DataFrame,
     plumbing, stubbed kernels (see module docstring)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_stub(p) for p in pdf["payload"]]
-            feats = [_feature_stub(bytes(p), dim).tolist()
-                     for p in pdf["payload"]]
+            dims, feats = [], []
+            for p in pdf["payload"]:
+                # per-ROW degradation: one undecodable payload yields
+                # null width/height/feature, never a task failure (the
+                # same policy as fetch errors and sample_frames)
+                try:
+                    dims.append(_decode_stub(p))
+                    feats.append(_feature_stub(bytes(p), dim).tolist())
+                except NotImplementedError:
+                    dims.append((None, None))
+                    feats.append(None)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_ref": pdf["media_ref"],

@@ -107,19 +107,21 @@ def _record_lineage(spark: SparkSession, catalog: SnapshotCatalog, wave: int,
 def expire_history(spark: SparkSession, catalog: SnapshotCatalog,
                    table: str, keep_last: int = 1) -> int:
     """Resume-safe snapshot expiry for crawl-managed tables: protects
-    every snapshot id the lineage table still references for `table`
-    (those are crash-rollback targets — expiring one would make
-    `resume=True` raise `unknown snapshot`), then delegates to
-    catalog.expire_snapshots. Use this, not the raw catalog call, for
-    any table in _MANAGED_TABLES."""
-    from pyspark.sql import functions as F
+    the LATEST lineage-referenced snapshot for `table` — the only one
+    crash-rollback targets (_rollback_incomplete_wave rolls back to the
+    last complete wave's snapshot, never older) — then delegates to
+    catalog.expire_snapshots. Protecting every historical lineage id
+    would protect every data dir (append snapshots carry cumulative dir
+    lists) and expiry would reclaim nothing (code-review r3). Use this,
+    not the raw catalog call, for any table in _MANAGED_TABLES."""
     protect: set[int] = set()
     if catalog.table_exists("lineage") and \
             catalog.current_snapshot("lineage") is not None:
-        rows = (catalog.read(spark, "lineage")
-                .filter(F.col("table") == table)
-                .select("snapshot_id").distinct().collect())
-        protect = {int(r[0]) for r in rows}
+        row = (catalog.read(spark, "lineage")
+               .filter(F.col("table") == table)
+               .agg(F.max("snapshot_id")).collect()[0])
+        if row[0] is not None:
+            protect = {int(row[0])}
     return catalog.expire_snapshots(table, keep_last=keep_last,
                                     protect_ids=protect)
 

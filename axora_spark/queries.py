@@ -308,16 +308,18 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str,
     recomputing it, and `max_bucket` caps degenerate buckets
     (operators/neardup.lsh_candidate_pairs)."""
     from axora_spark.operators import neardup
-    if sig is None:
+    standalone = sig is None
+    if standalone:
         sig = q_minhash_signature(spark, sf_dir)
     bands = neardup.band_buckets(sig, rows_per_band=2)
-    # compute the band table ONCE for the self-join: Spark's exchange
-    # reuse does not fire across these two branches (verified in the
-    # executed plan — both sides carried a full signature pipeline), so
-    # the standalone form materializes bands lazily and shares it, the
-    # same compute-once shape the crawl/bench path gets from the
-    # persisted signature
-    bands = bands.localCheckpoint(eager=False)
+    if standalone:
+        # compute the band table ONCE for the self-join: Spark's
+        # exchange reuse does not fire across these two branches
+        # (verified in the executed plan — both sides carried a full
+        # signature pipeline). Only the standalone form checkpoints: a
+        # caller-persisted sig already makes the branches cheap, and a
+        # second executor-storage copy would just inflate memory
+        bands = bands.localCheckpoint(eager=False)
     return neardup.lsh_candidate_pairs(bands, max_bucket=max_bucket)
 
 

@@ -102,7 +102,10 @@ def test_resume_after_compact_and_expiry(spark, catalog, cfg, fixture_pages):
     want = oracle.simulate(fixture_pages, cfg)
     crawl.run_crawl(spark, catalog, cfg, corpus, stop_after_wave=1,
                     compact_every=1)
-    crawl.expire_history(spark, catalog, "seen", keep_last=1)
+    removed = crawl.expire_history(spark, catalog, "seen", keep_last=1)
+    # expiry must actually reclaim (protecting every historical lineage
+    # id would keep every dir alive — code-review r3)
+    assert removed > 0
     crawl.run_crawl(spark, catalog, cfg, corpus, resume=True,
                     compact_every=1)
     got = sorted(r.url for r in catalog.read(spark, "seen").collect())
