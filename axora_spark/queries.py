@@ -2226,6 +2226,32 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day bucket): counts and exact cent
+    sums at every grouping-set level including both marginals and the
+    grand total — the full cube companion to q_rollup_orders' rollup.
+    One aggregation pass computes all 4 grouping sets (Spark expands
+    the cube in a single Expand+Aggregate, not one scan per set)."""
+    ev = _t(spark, sf_dir, "events", spread=True)
+    cents = F.round(F.col("value") * 100).cast("long")
+    hour = F.hour(F.col("ts").cast("timestamp"))
+    return (ev.select("event_type", hour.alias("hour"),
+                      cents.alias("cents"))
+            .cube("event_type", "hour")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("cents") / 100.0, 2).alias("sum_value")))
+
+
+SQL_CUBE_EVENTS = """
+SELECT event_type, hour(ts) AS hour,
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_value
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+"""
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of `value` per event_type (percentile_cont
     interpolation — identical formula both engines). Exact percentiles
@@ -2430,6 +2456,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "moving_window": q_moving_window,
     "rollup_orders": q_rollup_orders,
+    "cube_events": q_cube_events,
     "value_percentiles": q_value_percentiles,
     "event_conversion": q_event_conversion,
     "retention_cohorts": q_retention_cohorts,
@@ -2482,6 +2509,7 @@ ORACLES = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "moving_window": SQL_MOVING_WINDOW,
     "rollup_orders": SQL_ROLLUP_ORDERS,
+    "cube_events": SQL_CUBE_EVENTS,
     "value_percentiles": SQL_VALUE_PERCENTILES,
     "event_conversion": SQL_EVENT_CONVERSION,
     "retention_cohorts": SQL_RETENTION_COHORTS,

@@ -47,7 +47,7 @@ HEADLINE = [
     "broadcast_join_agg",
     "events_tumbling", "sessionize", "event_conversion",
     "retention_cohorts", "moving_window", "rollup_orders",
-    "value_percentiles",
+    "cube_events", "value_percentiles",
 ]
 
 CRAWL_FRONTIER_N = int(os.environ.get("AXORA_BENCH_FRONTIER_N", 2_000_000))
