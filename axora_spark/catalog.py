@@ -130,20 +130,21 @@ class SnapshotCatalog:
         return sid_dir, n, n_parts
 
     def append(self, spark: SparkSession, name: str, df: DataFrame,
-               skip_empty: bool = False) -> int:
+               skip_empty: bool = False) -> int | None:
         """Fast-append: writes only the new rows. skip_empty=True avoids
         committing a snapshot (and an empty data dir) when df has no
         rows — a long-running keyed ingest whose batches are mostly
         replays would otherwise grow one dir per batch forever; the
-        current snapshot id is returned unchanged in that case."""
+        current snapshot id (None for a never-written table — the same
+        'no snapshot' convention every other API uses; real ids start
+        at 1) is returned unchanged in that case."""
         meta = self._load_meta(name)
         parent_dirs = self._dirs_for(meta, None)
         new_dir, n, n_parts = self._write_data(name, df)
         if skip_empty and n == 0:
             import shutil
             shutil.rmtree(new_dir, ignore_errors=True)
-            cur = meta["current"]
-            return cur if cur is not None else 0
+            return meta["current"]
         return self._commit(name, df, parent_dirs, "append", n, n_parts, new_dir)
 
     def overwrite(self, spark: SparkSession, name: str, df: DataFrame) -> int:
@@ -151,7 +152,7 @@ class SnapshotCatalog:
         return self._commit(name, df, [], "overwrite", n, n_parts, new_dir)
 
     def merge_insert_if_absent(self, spark: SparkSession, name: str,
-                               df: DataFrame, key: str) -> int:
+                               df: DataFrame, key: str) -> int | None:
         """MERGE INTO t USING df ON t.key = df.key WHEN NOT MATCHED INSERT *.
 
         Duplicate keys *within* df collapse DETERMINISTICALLY to the

@@ -36,22 +36,42 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
 
 
-def block_keys_minword(ws: Column, n_keys: int = 2) -> Column:
-    """K one-permutation minhashes of a word array: key_i = min over words
-    of sha256(word ∥ '#' ∥ i). Returns array<string> of length n_keys.
+def block_keys_minword(ws: Column, n_keys: int = 2, salt: str = "",
+                       band_width: int = 1) -> Column:
+    """K blocking keys from one-permutation minhashes of a word array:
+    key_i = concat over j < band_width of
+    min over words of sha256(word ∥ salt ∥ '#' ∥ (i·band_width+j)).
+    Returns array<string> of length n_keys.
+
+    salt selects an independent permutation family; band_width trades
+    recall for block purity exactly like LSH bands: width 1 collides two
+    docs with probability J per key (max recall, but on a near-dup-heavy
+    corpus the blocks are huge and MIXED — the min-doc_id leader is
+    usually unrelated to a given pair in the block), width 2 collides
+    with probability J² (≈0.64 at the 0.8 threshold per key, but blocks
+    contain mostly mutual near-dups, so the leader comparison actually
+    lands). The iterated dedup uses width 1 for its first sweep and
+    fresh-salted width-2 bands for refinement rounds — measured on the
+    fixture corpus, same-key or same-width re-blocking was a no-op while
+    width-2 rounds close the survivor-pair gap (SCALE.md).
 
     The permutation constant binds via an OUTER variable, never a lambda
     default arg — a 2-arg transform lambda is the (element, index) overload
     and pyspark would silently pass the array index as the second arg."""
     keys = []
     for i in range(n_keys):
-        suffix = F.lit(f"#{i}")
-        keys.append(F.array_min(F.transform(
-            ws, lambda w: F.sha2(F.concat(w, suffix), 256))))
+        mins = []
+        for j in range(band_width):
+            suffix = F.lit(f"{salt}#{i * band_width + j}")
+            mins.append(F.array_min(F.transform(
+                ws, lambda w: F.sha2(F.concat(w, suffix), 256))))
+        keys.append(mins[0] if band_width == 1
+                    else F.concat_ws("|", *mins))
     return F.array(*keys)
 
 
-def _keyed_word_sets(docs: DataFrame, n_keys: int) -> DataFrame:
+def _keyed_word_sets(docs: DataFrame, n_keys: int, salt: str = "",
+                     band_width: int = 1) -> DataFrame:
     # stagewise attribute materialization + explode_OUTER: filtering on
     # size(ws) lets pushdown substitute the distinct-words tree into a
     # pre-Exchange filter, and a plain explode makes
@@ -65,7 +85,8 @@ def _keyed_word_sets(docs: DataFrame, n_keys: int) -> DataFrame:
             .select("doc_id", F.array_distinct(F.col("w")).alias("ws")))
     keyed = sets.select(
         "doc_id", "ws",
-        block_keys_minword(F.col("ws"), n_keys).alias("keys"))
+        block_keys_minword(F.col("ws"), n_keys, salt,
+                           band_width).alias("keys"))
     return (keyed.select("doc_id", "ws",
                          F.explode_outer("keys").alias("bk")))
 
@@ -77,7 +98,9 @@ def _jac(a: Column, b: Column, round_to: int) -> Column:
 
 
 def ngram_jaccard_dedup(docs: DataFrame, threshold: float = 0.8,
-                        n_keys: int = 2, round_to: int = 6) -> DataFrame:
+                        n_keys: int = 2, round_to: int = 6,
+                        key_salt: str = "", band_width: int = 1,
+                        leader_salt: str | None = None) -> DataFrame:
     """Blocked word-set Jaccard LEADER dedup: docs(doc_id, text) →
     (doc_id, dup_of, jaccard) where dup_of is the smallest doc_id of a
     same-block leader with Jaccard ≥ threshold.
@@ -93,19 +116,45 @@ def ngram_jaccard_dedup(docs: DataFrame, threshold: float = 0.8,
     bound 1-(1-J)^n_keys only converts to dup-pair recall when the pair's
     shared block is led by one of the pair (or by a transitive near-dup of
     both). A block whose min-doc_id leader is unrelated to a dup pair in
-    it swallows that pair. Where full recall matters, iterate: re-block
-    the survivors (docs with no dup_of) and run again, or use
-    ngram_jaccard_pairs (with max_block) for exhaustive pair output."""
+    it swallows that pair. Where full recall matters, iterate
+    (ngram_jaccard_dedup_iterated), or use ngram_jaccard_pairs (with
+    max_block) for exhaustive pair output.
+
+    leader_salt: None (default) = classic min-doc_id leaders and the
+    doc_id > leader orientation above. A string = RANDOMIZED leaders:
+    rank docs by sha256(doc_id ∥ salt) and lead each block with the
+    min-rank member; dup_of can then exceed doc_id (the output is a
+    keeper FOREST, chains resolved by following dup_of). This is the
+    iterated refinement's escape hatch from systematic leader bias —
+    measured on the fixture corpus, min-doc_id leadership is
+    adversarial (the oldest docs sit just BELOW threshold to whole
+    stuck clusters and win every block, so identical-pair survivors
+    stayed stuck for 8 straight re-salted rounds; random leadership
+    hits a stuck pair's own endpoint with probability 2/block and
+    collapses them — SCALE.md has the numbers)."""
     # keyed feeds both the leader aggregation and the candidate join;
     # exchange reuse does not bridge self-join branches (verified on the
     # minhash path — each branch carried the full sha256 key pipeline),
     # so materialize it once
-    keyed = _keyed_word_sets(docs, n_keys).localCheckpoint(eager=False)
-    leaders = keyed.groupBy("bk").agg(
-        F.min("doc_id").alias("leader"),
-        F.min_by("ws", "doc_id").alias("lws"))
-    cands = (keyed.join(leaders, "bk")
-             .filter(F.col("doc_id") > F.col("leader"))
+    keyed = _keyed_word_sets(docs, n_keys, key_salt,
+                             band_width).localCheckpoint(eager=False)
+    if leader_salt is None:
+        leaders = keyed.groupBy("bk").agg(
+            F.min("doc_id").alias("leader"),
+            F.min_by("ws", "doc_id").alias("lws"))
+        members = keyed.join(leaders, "bk") \
+                       .filter(F.col("doc_id") > F.col("leader"))
+    else:
+        rk = F.sha2(F.concat(F.col("doc_id").cast("string"),
+                             F.lit(leader_salt)), 256)
+        leaders = (keyed.withColumn("_rk", rk).groupBy("bk")
+                   .agg(F.min_by(F.struct("doc_id", "ws"),
+                                 F.struct("_rk", "doc_id")).alias("_l"))
+                   .select("bk", F.col("_l.doc_id").alias("leader"),
+                           F.col("_l.ws").alias("lws")))
+        members = keyed.join(leaders, "bk") \
+                       .filter(F.col("doc_id") != F.col("leader"))
+    cands = (members
              .select("doc_id", "leader",
                      _jac(F.col("ws"), F.col("lws"), round_to)
                      .alias("jaccard"))
@@ -115,6 +164,87 @@ def ngram_jaccard_dedup(docs: DataFrame, threshold: float = 0.8,
         F.min(F.struct("leader", "jaccard")).alias("_b"))
     return best.select("doc_id", F.col("_b.leader").alias("dup_of"),
                        F.col("_b.jaccard").alias("jaccard"))
+
+
+def ngram_jaccard_dedup_iterated(docs: DataFrame, threshold: float = 0.8,
+                                 n_keys: int = 2, round_to: int = 6,
+                                 max_rounds: int = 5) -> DataFrame:
+    """Iterated leader dedup — the recall refinement the single-pass
+    docstring names: run ngram_jaccard_dedup, then RE-BLOCK the
+    survivors (docs with no dup_of) under a FRESH permutation family
+    (key_salt = round number) and rerun, until a round assigns nothing
+    new. The salt is the load-bearing part: re-blocking with the SAME
+    keys is a near-no-op, because a block's min-doc_id leader has no
+    dup_of by construction, survives into the next round, reclaims the
+    same block, and swallows the same pairs — fresh permutations give
+    survivors new leaders and the missed pairs a fresh 1-(1-J)^K chance
+    each round. Output: union of every round's (doc_id, dup_of,
+    jaccard); a doc is assigned at most once (it leaves the survivor
+    set the round it gains a dup_of).
+
+    Refinement rounds (rnd ≥ 1) change THREE things at once, each
+    measured necessary on the fixture corpus (SCALE.md):
+    fresh-salted permutations (same keys re-elect the same leaders —
+    0 new assignments), band_width=2 keys (width-1 blocks on a
+    near-dup-heavy corpus are huge and mixed, so even fresh leaders
+    are usually unrelated — ≤1 new/round), and RANDOMIZED leader
+    choice (min-doc_id leadership proved systematically adversarial:
+    the oldest docs sat just below threshold to whole stuck clusters
+    and won every block under every salt, leaving even identical
+    pairs stuck — random leaders hit a stuck pair's own endpoint with
+    probability 2/block per round).
+
+    Measured on the fixture corpus vs the exhaustive
+    ngram_jaccard_pairs ground truth (31,721 qualifying pairs;
+    tests/test_neardup.py::test_iterated_leader_recall_fixture_corpus):
+    COVERAGE recall — the operational dedup metric, a qualifying pair
+    is missed only when BOTH endpoints survive — 0.9916 single-pass →
+    0.9949 at max_rounds=5 → 0.9990 at max_rounds=10, clearing the
+    1-(1-J)^K ≥ 0.96 bound unconditionally. Component-pair recall
+    (both endpoints in the same dup_of tree) stays lower by design:
+    keeper assignment emits one edge per removed doc, so a truth pair
+    whose endpoints dup'd into different keepers counts against it —
+    full transitive clustering is dedup_clusters'
+    (connected-components) job, not leader dedup's. The dup_of forest
+    is provably acyclic: round-0 edges descend doc_id, salted-round
+    edges descend that round's rank order, and chains never re-enter
+    earlier rounds.
+
+    Cost: each round is one O(survivors·K) leader pass over a SHRINKING
+    set; max_rounds bounds the tail."""
+    docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
+    assigned = None
+    survivors = docs
+    dry = 0
+    for rnd in range(max_rounds):
+        got = ngram_jaccard_dedup(
+            survivors, threshold=threshold, n_keys=n_keys,
+            round_to=round_to,
+            key_salt="" if rnd == 0 else f"r{rnd}",
+            band_width=1 if rnd == 0 else 2,
+            leader_salt=None if rnd == 0 else f"L{rnd}")
+        got = got.localCheckpoint(eager=True)  # one fixpoint check/round
+        n_new = got.count()
+        if n_new == 0:
+            # refinement keys are randomized per round — one barren salt
+            # doesn't prove the next is; stop after 2 consecutive dry
+            dry += 1
+            if dry >= 2:
+                break
+            continue
+        dry = 0
+        assigned = got if assigned is None else assigned.union(got)
+        prev = survivors
+        survivors = (survivors.join(got.select("doc_id"), "doc_id",
+                                    "left_anti")
+                     .localCheckpoint(eager=True))
+        if prev is not docs:  # round ≥2: drop the superseded checkpoint
+            prev.unpersist()
+    if assigned is None:
+        return (docs.select("doc_id").limit(0)
+                .withColumn("dup_of", F.lit(None).cast("long"))
+                .withColumn("jaccard", F.lit(None).cast("double")))
+    return assigned
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
@@ -222,23 +352,110 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
               .distinct()
               .withColumn("label", F.col("doc_id"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
-        nbr = (sym.join(labels, sym["b"] == labels["doc_id"])
-               .groupBy(sym["a"].alias("doc_id"))
-               .agg(F.min("label").alias("nbr_min")))
-        new_labels = (labels.join(nbr, "doc_id", "left")
-                      .select("doc_id",
-                              F.least("label", "nbr_min").alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed(
-                       "label", "old"), "doc_id")
-                   .filter(F.col("label") != F.col("old")).count())
-        labels = new_labels
-        if changed == 0:
-            return labels.select(
-                "doc_id", F.col("label").alias("cluster_id"))
-    raise RuntimeError(
-        f"connected_components: no fixpoint in {max_iter} rounds")
+    try:
+        for _ in range(max_iter):
+            nbr = (sym.join(labels, sym["b"] == labels["doc_id"])
+                   .groupBy(sym["a"].alias("doc_id"))
+                   .agg(F.min("label").alias("nbr_min")))
+            new_labels = (labels.join(nbr, "doc_id", "left")
+                          .select("doc_id",
+                                  F.least("label", "nbr_min").alias("label"))
+                          .localCheckpoint(eager=True))
+            changed = (new_labels.join(labels.withColumnRenamed(
+                           "label", "old"), "doc_id")
+                       .filter(F.col("label") != F.col("old")).count())
+            # each round's checkpoint supersedes the last — unpersist the
+            # stale one or executor storage grows linearly with rounds
+            # (and with every invocation in a long session, code-review r4)
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                # the result must outlive the finally-block unpersists:
+                # copy the converged labels out of the checkpointed frame
+                out = labels.select(
+                    "doc_id", F.col("label").alias("cluster_id"))
+                out = out.localCheckpoint(eager=True)
+                return out
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds")
+    finally:
+        sym.unpersist()
+        labels.unpersist()
+
+
+def _ls_mins(e: DataFrame) -> DataFrame:
+    """per-u star minimum m = min(Γ(u) ∪ {u}) over an edge list (u, v)."""
+    return (e.groupBy("u").agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m")))
+
+
+def connected_components_star(edges: DataFrame,
+                              max_iter: int = 50) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    MapReduce and Beyond", SoCC 2014) — the scale path for CC. Same
+    output contract as connected_components: undirected (a, b) edges →
+    (doc_id, cluster_id = component-min doc_id) for every node in an
+    edge.
+
+    Per alternation, two grouped passes over the edge set:
+
+      large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+      small-star(u): over (max,min)-directed edges, m as above;
+                     emit (v, m) for v ∈ Γ(u) ∪ {u}, v ≠ m
+
+    Both operations strictly decrease a potential (Σ over edges of
+    height), so alternation converges — provably in O(log² n) rounds
+    worst-case, O(log n) observed (and exactly what the long-chain test
+    pins: a path of n nodes collapses in ≤ 2·log2(n) alternations,
+    because each large-star round roughly halves every node's distance
+    to its component min, vs the n rounds min-label propagation needs).
+    At the fixpoint the edge set IS the answer: stars (child, root).
+
+    vs min-label propagation (connected_components): same per-round cost
+    (one shuffle join + groupBy), but rounds = O(log n) instead of graph
+    diameter, and state is the edge set itself (shrinking) rather than
+    edge set + labels. Min-label stays the small-graph path — on
+    already-star-shaped bucket edges (diameter ≤ a few) it converges in
+    2-3 rounds with one fewer pass per round."""
+    e = (edges.filter(F.col("a") != F.col("b"))
+         .select(F.col("a").alias("u"), F.col("b").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iter):
+            # large-star over the symmetrized neighborhood
+            sym = e.union(e.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+            ls = (sym.join(_ls_mins(sym), "u")
+                  .filter(F.col("v") > F.col("u"))
+                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                  .distinct())
+            # small-star over (max, min)-directed edges
+            directed = ls.select(F.greatest("u", "v").alias("u"),
+                                 F.least("u", "v").alias("v")).distinct()
+            mins = _ls_mins(directed)
+            ss = (directed.join(mins, "u")
+                  .select(F.col("v").alias("n"), F.col("u"), F.col("m"))
+                  .union(mins.select(F.col("u").alias("n"), "u", "m"))
+                  .filter(F.col("n") != F.col("m"))
+                  .select(F.col("n").alias("u"), F.col("m").alias("v"))
+                  .distinct().localCheckpoint(eager=True))
+            same = (ss.count() == e.count()
+                    and ss.subtract(e).limit(1).count() == 0)
+            e.unpersist()
+            e = ss
+            if same:
+                roots = e.select(F.col("v").alias("doc_id")).distinct() \
+                         .withColumn("cluster_id", F.col("doc_id"))
+                out = (e.select(F.col("u").alias("doc_id"),
+                                F.col("v").alias("cluster_id"))
+                       .union(roots).distinct()
+                       .localCheckpoint(eager=True))
+                return out
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds")
+    finally:
+        e.unpersist()
 
 
 # --------------------------------------------------------------------------

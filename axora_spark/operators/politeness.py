@@ -49,7 +49,14 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
 
     budget_overrides: per-host budget (robots crawl-delay, target mode) —
     a tiny map, broadcast-joined; absent hosts use `host_budget`.
-    """
+
+    The no-override path compares ranks against the LITERAL budget, not
+    a `_budget` column: a row_number filter against a foldable constant
+    lets Spark insert WindowGroupLimit — a per-partition top-k pruning
+    pass BEFORE the window sort/exchange — while a column-vs-column
+    comparison disables it (this was the r2→r3 politeness_rank
+    regression: the override plumbing added a constant `_budget` column
+    even when no overrides existed; plan-gated now)."""
     if budget_overrides:
         spark = frontier.sparkSession
         bdf = spark.createDataFrame(
@@ -59,8 +66,9 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
                     .withColumn("_budget",
                                 F.coalesce(F.col("_budget"),
                                            F.lit(host_budget))))
+        budget = F.col("_budget")
     else:
-        frontier = frontier.withColumn("_budget", F.lit(host_budget))
+        budget = F.lit(host_budget)
 
     salted = frontier.withColumn(
         "_salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int"))
@@ -68,14 +76,16 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
     w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
     survivors = (salted
                  .withColumn("_srn", F.row_number().over(w1))
-                 .filter(F.col("_srn") <= F.col("_budget"))
+                 .filter(F.col("_srn") <= budget)
                  .drop("_srn"))
 
     w2 = Window.partitionBy("host").orderBy(*_order_cols())
     ranked = survivors.withColumn("rank", F.row_number().over(w2)).drop("_salt")
 
-    admitted = ranked.filter(F.col("rank") <= F.col("_budget")).drop("_budget")
-    frontier = frontier.drop("_budget")
+    admitted = ranked.filter(F.col("rank") <= budget)
+    if budget_overrides:
+        admitted = admitted.drop("_budget")
+        frontier = frontier.drop("_budget")
     # Deferred = everything not admitted. Anti-join on url_hash (unique per
     # wave after frontier dedup) keeps this a co-partitioned hash join.
     deferred = frontier.join(

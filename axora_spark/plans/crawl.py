@@ -113,15 +113,36 @@ def expire_history(spark: SparkSession, catalog: SnapshotCatalog,
     catalog.expire_snapshots. Protecting every historical lineage id
     would protect every data dir (append snapshots carry cumulative dir
     lists) and expiry would reclaim nothing (code-review r3). Use this,
-    not the raw catalog call, for any table in _MANAGED_TABLES."""
+    not the raw catalog call, for any table in _MANAGED_TABLES.
+
+    The protect set must cover BOTH resume targets, not just the global
+    max lineage id: a crash between _record_lineage and _save_state
+    leaves lineage rows for a wave >= the saved next_wave, and resume
+    rolls back PAST them to the last committed wave's snapshot. Running
+    expire(keep_last=1) in that crashed state with only the global max
+    protected would expire the rollback target and make the crawl
+    unresumable (code-review r4). So: protect the newest lineage id for
+    waves < the saved next_wave (the rollback target) AND the global
+    newest (the current tip); with no saved state, the two most recent
+    lineage ids per table — still O(1) dirs protected, expiry still
+    reclaims everything older."""
     protect: set[int] = set()
     if catalog.table_exists("lineage") and \
             catalog.current_snapshot("lineage") is not None:
-        row = (catalog.read(spark, "lineage")
-               .filter(F.col("table") == table)
-               .agg(F.max("snapshot_id")).collect()[0])
-        if row[0] is not None:
-            protect = {int(row[0])}
+        rows = (catalog.read(spark, "lineage")
+                .filter(F.col("table") == table)
+                .select("wave", "snapshot_id").collect())
+        ids = sorted((int(r.wave), int(r.snapshot_id)) for r in rows)
+        if ids:
+            protect.add(ids[-1][1])  # current tip
+            state = _load_state(catalog)
+            if state is not None:
+                committed = [sid for w, sid in ids
+                             if w < state["next_wave"]]
+                if committed:
+                    protect.add(committed[-1])  # crash-rollback target
+            elif len(ids) >= 2:
+                protect.add(ids[-2][1])
     return catalog.expire_snapshots(table, keep_last=keep_last,
                                     protect_ids=protect)
 

@@ -35,10 +35,11 @@ HEADLINE = [
     "frontier_filters", "politeness_rank", "seen_antijoin", "dedup_exact",
     "minhash_signature", "minhash_near_dup", "simhash", "ngram_jaccard",
     "embedding_near_dup", "cosine_topk", "ann_lsh_buckets", "ann_ivf_topk",
-    "ann_pq_topk", "pipeline_funnel",
+    "ann_pq_topk", "pipeline_funnel", "pipeline_funnel_cached",
     "quality_scores", "token_counts", "wordpiece_tokens", "chunk_pipeline",
-    "meta_gate", "media_pipeline", "robots_gate", "serp_collect",
-    "text_clean",
+    "meta_gate", "url_canonicalize", "chunk_markdown",
+    "media_pipeline", "robots_gate", "serp_collect",
+    "text_clean", "wave_dedup", "sha256_hash",
     "pii_mask", "doc_fingerprint", "repetition_filters",
     "gopher_quality", "c4_line_filters", "tfidf_top_terms",
     "dedup_clusters", "lang_id",
@@ -123,15 +124,26 @@ def main():
         .select(_warm(F.col("id").cast("int"))) \
         .write.mode("overwrite").format("noop").save()
 
-    from axora_spark.queries import q_minhash_near_dup, q_minhash_signature
+    from axora_spark.queries import (dedup_components, q_minhash_near_dup,
+                                     q_minhash_signature, q_pipeline_funnel)
 
     sig = q_minhash_signature(spark, sf_dir).persist()
+    # the persisted CC component frame — the production corpus-build
+    # shape where the fixpoint job ran once and downstream audits only
+    # join (pipeline_funnel_cached measures exactly that; the plain
+    # pipeline_funnel row keeps measuring the recompute-inline form).
+    # dedup_components runs its fixpoint EAGERLY (localCheckpoint+count
+    # loop), so this line pays the CC cost here, outside the timed loop.
+    comp = dedup_components(spark, sf_dir).persist()
+    comp.count()
 
     def df_for(name):
         if name == "minhash_signature":
             return sig                      # materializes the persisted sig
         if name == "minhash_near_dup":
             return q_minhash_near_dup(spark, sf_dir, sig=sig)
+        if name == "pipeline_funnel_cached":
+            return q_pipeline_funnel(spark, sf_dir, comp=comp)
         return QUERIES[name](spark, sf_dir)
 
     def materialize(df):
@@ -171,6 +183,7 @@ def main():
         print(f"# {name}: {dt:.3f}s {['%.2f' % s for s in secs]}",
               file=sys.stderr)
     sig.unpersist()
+    comp.unpersist()
 
     crawl = crawl_wave_bench(spark, reps=reps)
     total += crawl["sec"]

@@ -64,6 +64,60 @@ def test_meta_gate_fixture_fresh():
     assert 0 < rel < len(got)  # both classes exercised
 
 
+def test_url_canon_fixture_fresh():
+    got = _rows(os.path.join(FIXTURES, "url_canon.parquet"))
+    n = make_fixtures.max_doc_id() + 1
+    want = _expected(make_fixtures.url_canon_rows(n),
+                     ["doc_id", "abs_url", "canonical_url", "skip_path"])
+    assert got == want
+    # canonicalization actually does work on these cases
+    assert any(a != c for _, a, c, _s in got)
+
+
+def test_chunks_md_fixture_fresh():
+    got = _rows(os.path.join(FIXTURES, "chunks_md.parquet"))
+    n = make_fixtures.max_doc_id() + 1
+    want = _expected(make_fixtures.chunk_md_rows(n),
+                     ["doc_id", "chunk_index", "chunk_sha", "chunk_len"])
+    assert got == want
+    # chunk counts vary and the long-section recursion fires
+    by_doc = {}
+    for d, *_ in got:
+        by_doc[d] = by_doc.get(d, 0) + 1
+    assert len(set(by_doc.values())) > 2
+
+
+def test_url_canonicalize_query_matches_python(spark):
+    """End-to-end pin: the REAL q_url_canonicalize (native input synth +
+    pandas UDFs) must byte-match the pure-Python urlnorm core the fixture
+    was computed from — stronger than input-equality alone."""
+    from axora_spark.queries import q_url_canonicalize
+    got = {r.doc_id: (r.abs_url, r.canonical_url, r.skip_path)
+           for r in q_url_canonicalize(
+               spark, "/root/testdata/sf0.001").collect()}
+    for doc_id, vals in got.items():
+        w = make_fixtures.url_canon_rows(doc_id + 1)[-1]
+        assert vals == (w["abs_url"], w["canonical_url"], w["skip_path"])
+
+
+def test_chunk_markdown_query_matches_python(spark):
+    """End-to-end pin: the REAL q_chunk_markdown (native markdown synth +
+    splitter UDF) must match the pure-Python chunker output."""
+    from axora_spark.queries import q_chunk_markdown
+    rows = q_chunk_markdown(spark, "/root/testdata/sf0.001").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.chunk_index, r.chunk_sha, r.chunk_len))
+    md_rows = make_fixtures.chunk_md_rows(max(by_doc) + 1)
+    want: dict[int, list] = {}
+    for w in md_rows:
+        want.setdefault(w["doc_id"], []).append(
+            (w["chunk_index"], w["chunk_sha"], w["chunk_len"]))
+    for d in by_doc:
+        assert sorted(by_doc[d]) == sorted(want[d]), f"doc {d}"
+
+
 def test_meta_gate_spark_synth_matches_python(spark):
     """queries.q_meta_gate synthesizes (title, metas) natively; the fixture
     used make_fixtures.meta_gate_inputs_py. Pin them equal."""

@@ -82,6 +82,47 @@ def test_block_keys_deterministic(spark):
     assert len(k1) == 2 and k1[0] != k1[1]  # distinct permutations
 
 
+def _coverage_recall(dup_rows, truth_pairs):
+    """Operational dedup recall: a qualifying pair is MISSED only when
+    both endpoints survive (neither got a dup_of) — the two docs would
+    co-exist in the deduped corpus."""
+    removed = {r.doc_id for r in dup_rows}
+    hit = sum(1 for a, b in truth_pairs
+              if a in removed or b in removed)
+    return hit / len(truth_pairs)
+
+
+def test_iterated_leader_recall_fixture_corpus(spark):
+    """VERDICT r3 #2: measure dup-pair recall of leader dedup vs the
+    exhaustive pairs ground truth on the fixture corpus, and show
+    salted iterated re-blocking closes the leader-conditional gap. The
+    iterated coverage number must clear the 1-(1-J)^K ≥ 0.96
+    block-sharing bound (SCALE.md) that single-pass only achieves
+    leader-conditionally (an unrelated min-doc_id leader can swallow a
+    pair, leaving both endpoints alive)."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    truth = {(r.doc_a, r.doc_b) for r in neardup.ngram_jaccard_pairs(
+        docs, threshold=0.8, max_block=None).collect()}
+    assert len(truth) > 1000  # the corpus is genuinely near-dup-heavy
+    single = neardup.ngram_jaccard_dedup(docs, threshold=0.8).collect()
+    iterated = neardup.ngram_jaccard_dedup_iterated(
+        docs, threshold=0.8).collect()
+    r_single = _coverage_recall(single, truth)
+    r_iter = _coverage_recall(iterated, truth)
+    print(f"\ncoverage recall single={r_single:.4f} "
+          f"iterated={r_iter:.4f} truth_pairs={len(truth)} "
+          f"assigned single={len(single)} iterated={len(iterated)}")
+    assert r_iter > r_single  # refinement rounds genuinely add coverage
+    assert r_iter >= 0.96
+    # iterated assigns a doc at most once, and round-1 output is the
+    # single-pass output exactly (salt only enters at round 2)
+    ids = [r.doc_id for r in iterated]
+    assert len(ids) == len(set(ids))
+    assert {(r.doc_id, r.dup_of) for r in single} <= {
+        (r.doc_id, r.dup_of) for r in iterated}
+
+
 # --------------------------------------------------------------------------
 # Connected components (dedup clusters)
 # --------------------------------------------------------------------------
@@ -132,6 +173,43 @@ def test_connected_components_chain_and_maxiter(spark):
     import pytest
     with pytest.raises(RuntimeError, match="no fixpoint"):
         neardup.connected_components(edf, max_iter=2)
+
+
+def test_star_cc_vs_union_find_and_minlabel(spark):
+    import random
+    rng = random.Random(11)
+    n = 60
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in (sorted(rng.sample(range(n), 2))
+                                 for _ in range(45))})
+    edf = spark.createDataFrame(edges, "a long, b long")
+    star = {r.doc_id: r.cluster_id
+            for r in neardup.connected_components_star(edf).collect()}
+    assert star == _uf_components(n, edges)
+    minlabel = {r.doc_id: r.cluster_id
+                for r in neardup.connected_components(edf).collect()}
+    assert star == minlabel
+
+
+def test_star_cc_long_chain_log_rounds(spark):
+    # the O(log n) claim, pinned: a 256-node path (diameter 255) must
+    # collapse within 2·log2(n) = 16 alternations — min-label would need
+    # ~255 rounds on the same graph. max_iter raises on miss, so
+    # convergence inside the bound IS the assertion.
+    import math
+    n = 256
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, "a long, b long")
+    bound = 2 * int(math.log2(n))
+    got = {r.doc_id: r.cluster_id
+           for r in neardup.connected_components_star(
+               edf, max_iter=bound).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_cc_self_loops_and_empty(spark):
+    edf = spark.createDataFrame([(3, 3), (4, 4)], "a long, b long")
+    assert neardup.connected_components_star(edf).collect() == []
 
 
 def test_bucket_star_edges_shape(spark):

@@ -93,6 +93,32 @@ def test_compact_every_preserves_crawl(spark, catalog, cfg, fixture_pages):
                   catalog.read(spark, "seen").collect()) == got
 
 
+def test_expire_in_crashed_state_keeps_rollback_target(
+        spark, catalog, cfg, fixture_pages):
+    """Crash BETWEEN _record_lineage and _save_state (lineage already
+    holds the crashed wave's rows; _state.json still points at the
+    previous wave), THEN expire_history(keep_last=1), THEN resume. The
+    protect set must include the rollback target — the newest lineage
+    snapshot for waves < the saved next_wave — not just the global max,
+    which in this state is the doomed partial append (code-review r4)."""
+    corpus = spark.createDataFrame(fixture_pages, schemas.LINK_GRAPH)
+    want = oracle.simulate(fixture_pages, cfg)
+    crawl.run_crawl(spark, catalog, cfg, corpus, stop_after_wave=1)
+
+    # simulate wave 2 crashing after its seen append + lineage record
+    partial = spark.createDataFrame(
+        [(987654321, "https://hot.example.org/crashpartial", 2)],
+        schemas.SEEN)
+    sid = catalog.append(spark, "seen", partial)
+    crawl._record_lineage(spark, catalog, 2, [("seen", sid, 1, 1)])
+
+    crawl.expire_history(spark, catalog, "seen", keep_last=1)
+    crawl.run_crawl(spark, catalog, cfg, corpus, resume=True)
+    seen = {r.url for r in catalog.read(spark, "seen").collect()}
+    assert seen == want.seen
+    assert not any("crashpartial" in u for u in seen)
+
+
 def test_resume_after_compact_and_expiry(spark, catalog, cfg, fixture_pages):
     """Crash → compact + resume-safe expiry → resume must still work and
     finish with the uninterrupted run's final state (the raw

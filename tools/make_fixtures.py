@@ -121,6 +121,39 @@ def meta_gate_inputs_py(doc_id: int) -> tuple[str, list[dict]]:
     return title, metas
 
 
+# --- X1/X2 url canonicalization fixture (inputs:
+#     axora_spark/fixture_inputs.py, shared with queries.q_url_canonicalize) ---
+
+def url_canon_rows(n_docs: int) -> list[dict]:
+    """Expected X1→X2 output: absolutize (urljoin, dom_handler.go:19-21)
+    then canonicalize + the F3 skip-norm path, via the engine's own pure-
+    Python urlnorm core."""
+    from axora_spark.fixture_inputs import url_case_inputs_py
+    from axora_spark.functions import urlnorm
+    rows = []
+    for doc_id in range(n_docs):
+        base, href = url_case_inputs_py(doc_id)
+        absu = urlnorm.absolutize(base, href)
+        rows.append({"doc_id": doc_id,
+                     "abs_url": absu,
+                     "canonical_url": urlnorm.canonicalize(absu),
+                     "skip_path": urlnorm.skip_norm_path(absu)})
+    return rows
+
+
+def chunk_md_rows(n_docs: int) -> list[dict]:
+    """Expected C2 output per doc: the heading-hierarchy splitter alone
+    (no token gate — C2 in isolation; chunking.go:48-58 'md' path)."""
+    from axora_spark.fixture_inputs import md_doc_py
+    from axora_spark.operators.chunking import chunk_text_py
+    rows = []
+    for doc_id in range(n_docs):
+        for i, c in enumerate(chunk_text_py(md_doc_py(doc_id), "md")):
+            rows.append({"doc_id": doc_id, "chunk_index": i,
+                         "chunk_sha": _sha(c), "chunk_len": len(c)})
+    return rows
+
+
 def meta_gate_rows(n_docs: int) -> list[dict]:
     from axora_spark.functions.textproc import is_meta_relevant
     rows = []
@@ -162,6 +195,16 @@ def main() -> None:
     assert 0 < n_rel < n, f"degenerate meta-gate fixture: {n_rel}/{n}"
     write(rows, os.path.join(out_dir, "meta_gate.parquet"),
           pa.schema([("doc_id", pa.int64()), ("relevant", pa.bool_())]))
+    write(url_canon_rows(n), os.path.join(out_dir, "url_canon.parquet"),
+          pa.schema([("doc_id", pa.int64()), ("abs_url", pa.string()),
+                     ("canonical_url", pa.string()),
+                     ("skip_path", pa.string())]))
+    md = chunk_md_rows(n)
+    assert len({r["doc_id"] for r in md}) == n  # every doc chunks
+    write(md, os.path.join(out_dir, "chunks_md.parquet"),
+          pa.schema([("doc_id", pa.int64()), ("chunk_index", pa.int32()),
+                     ("chunk_sha", pa.string()),
+                     ("chunk_len", pa.int32())]))
 
 
 if __name__ == "__main__":
