@@ -131,7 +131,12 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=64)
     args = ap.parse_args()
 
-    spark = get_spark("bench-10x", cores=args.cores)
+    # the UI must be on for the status REST API (stage shuffle/spill
+    # metrics); the 80M leg shuffles ~12 GB in one JVM, so size the
+    # driver heap for it unless the caller already did
+    os.environ.setdefault("AXORA_DRIVER_MEM", "64g")
+    spark = get_spark("bench-10x", cores=args.cores,
+                      extra_conf={"spark.ui.enabled": "true"})
     out = {"cores": args.cores,
            "legs": [measure(spark, n, args.reps, args.shards)
                     for n in (args.small, args.big)]}
