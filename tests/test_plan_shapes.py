@@ -206,6 +206,48 @@ def test_ann_pq_take_ordered_and_broadcast(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_composed_wave_frontier_branch_plan(spark):
+    # the e2e crawl wave's frontier branch exactly as run_crawl composes
+    # it (parse persisted once, shared by content+frontier branches →
+    # links → within-wave dedup → seen anti-join). Gates (VERDICT r3 #4):
+    #  * the one-pass HTML parse NEVER re-evaluates downstream — it sits
+    #    behind the persisted frame, so this plan has exactly one
+    #    InMemoryTableScan and the only ArrowEvalPython nodes are the
+    #    URL-normalization UDFs (2: absolutize∘canonicalize, skip-norm);
+    #  * the candidate side reaches the anti-join through a SINGLE
+    #    url_hash exchange (the dedup groupBy's partitioning satisfies
+    #    the join requirement) — 2 hash exchanges total incl. seen side.
+    from pyspark.sql import functions as F
+    from axora_spark.config import CrawlConfig
+    from axora_spark.operators.html import parse_fetched_html
+    from axora_spark.operators.frontier import (anti_join_seen,
+                                                dedup_within_wave)
+    from axora_spark.operators.extract import links_from_fetched
+    rows = [(f"https://h0.bench.example/p{i}", "h0.bench.example",
+             "<html><head><title>t</title></head><body>"
+             + "".join(f'<a href="/p{j}">x</a>' for j in range(4))
+             + "</body></html>") for i in range(6)]
+    fetched = (spark.createDataFrame(
+        rows, "url string, host string, body_html string")
+        .withColumn("depth", F.lit(1)).withColumn("wave", F.lit(0))
+        .withColumn("http_status", F.lit(200)))
+    cfg = CrawlConfig(seeds=("https://h0.bench.example/p0",),
+                      allowed_domains=("h0.bench.example",), max_depth=3,
+                      url_filters=(r"^https://h0\.bench\.example/.*$",))
+    parsed = parse_fetched_html(fetched).persist()
+    try:
+        links = links_from_fetched(parsed, cfg, 0)
+        seen = fetched.select(F.xxhash64("url").alias("url_hash"))
+        nxt = anti_join_seen(dedup_within_wave(links), seen)
+        nxt.count()
+        plan = _physical(nxt).split("== Initial Plan ==")[0]
+        assert plan.count("InMemoryTableScan") == 1
+        assert plan.count("ArrowEvalPython") == 2
+        assert plan.count("Exchange hashpartitioning") == 2
+    finally:
+        parsed.unpersist()
+
+
 def test_politeness_no_overrides_gets_window_group_limit(spark):
     # without budget overrides the rank filters must compare against the
     # LITERAL budget so Spark inserts WindowGroupLimit (per-partition
