@@ -174,6 +174,9 @@ class ControlLeg:
         self.pool.terminate()
 
 
+MANUAL_SENTINEL = "<!-- MANUAL SECTIONS BELOW (preserved by bench_scaling.py) -->"
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     legs = [int(x) for x in (sys.argv[2:] or ["2", "4", "8", "16", "32"])]
@@ -296,8 +299,16 @@ raw per leg (all interleaved rounds):
         f"    {json.dumps({'cores': c, 'n': n, 'wave_secs': [round(x, 2) for x in wave[c].secs], 'cpu_secs': [round(x, 2) for x in cpu[c].secs], 'bw_secs': [round(x, 2) for x in bw[c].secs], 'admitted': wave[c].admitted, 'deferred': wave[c].deferred})}\n"
         for c in legs)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve manually-maintained sections (10x wave, e2e session, ...)
+    # below the sentinel — this tool owns only the scaling block above it
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    manual = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if MANUAL_SENTINEL in prev:
+            manual = prev[prev.index(MANUAL_SENTINEL):]
+    with open(out_path, "w") as f:
+        f.write(md + "\n" + (manual or MANUAL_SENTINEL + "\n"))
     print(md)
 
 
