@@ -82,6 +82,92 @@ def test_block_keys_deterministic(spark):
     assert len(k1) == 2 and k1[0] != k1[1]  # distinct permutations
 
 
+def _iterated_dedup_py(docs, threshold=0.8, n_keys=2, max_rounds=5):
+    """Pure-Python twin of ngram_jaccard_dedup_iterated — independent
+    re-implementation of the exact closure (sha256 permutations, width-2
+    salted refinement bands, rank-randomized leaders, half-up 6dp
+    rounding, min-(leader, jaccard) tie-break, 2-dry-round stop) used as
+    an exact-equality oracle. docs: [(doc_id, text)]."""
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def sha(s):
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    def wordset(text):
+        return set((text or "").strip().split())
+
+    def jac(a, b):
+        # mirror Spark exactly: DOUBLE division, then HALF_UP at 6dp of
+        # the double's shortest decimal repr (java BigDecimal.valueOf)
+        v = len(a & b) / len(a | b)
+        return float(Decimal(repr(v)).quantize(Decimal("0.000001"),
+                                               ROUND_HALF_UP))
+
+    def one_round(surv, key_salt, band_width, leader_salt):
+        ws = {d: wordset(t) for d, t in surv if wordset(t)}
+        keyed = []  # (bk, doc_id)
+        for d, s in ws.items():
+            for i in range(n_keys):
+                mins = [min(sha(w + f"{key_salt}#{i * band_width + j}")
+                            for w in s) for j in range(band_width)]
+                keyed.append(("|".join(mins) if band_width > 1
+                              else mins[0], d))
+        blocks = {}
+        for bk, d in keyed:
+            blocks.setdefault(bk, set()).add(d)
+        best = {}
+        for bk, members in blocks.items():
+            if leader_salt is None:
+                leader = min(members)
+                cands = [d for d in members if d > leader]
+            else:
+                leader = min(members,
+                             key=lambda d: (sha(f"{d}{leader_salt}"), d))
+                cands = [d for d in members if d != leader]
+            for d in cands:
+                jv = jac(ws[d], ws[leader])
+                if jv >= threshold:
+                    cur = best.get(d)
+                    if cur is None or (leader, jv) < cur:
+                        best[d] = (leader, jv)
+        return best
+
+    assigned = {}
+    surv = list(docs)
+    dry = 0
+    for rnd in range(max_rounds):
+        got = one_round(surv,
+                        "" if rnd == 0 else f"r{rnd}",
+                        1 if rnd == 0 else 2,
+                        None if rnd == 0 else f"L{rnd}")
+        if not got:
+            dry += 1
+            if dry >= 2:
+                break
+            continue
+        dry = 0
+        assigned.update(got)
+        surv = [(d, t) for d, t in surv if d not in got]
+    return assigned
+
+
+def test_iterated_dedup_exact_vs_python_oracle(spark):
+    """Exact-equality gate: the engine's full iterated loop must produce
+    byte-identical (doc_id, dup_of, jaccard) to the independent
+    pure-Python closure above — pins hashing, banding, leader ranking,
+    rounding, tie-breaks and the round/stop protocol all at once."""
+    docs_df = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"))
+    got = {r.doc_id: (r.dup_of, r.jaccard) for r in
+           neardup.ngram_jaccard_dedup_iterated(
+               docs_df, threshold=0.8).collect()}
+    rows = [(r.doc_id, r.text) for r in docs_df.collect()]
+    want = _iterated_dedup_py(rows, threshold=0.8)
+    assert got == want
+
+
 def _coverage_recall(dup_rows, truth_pairs):
     """Operational dedup recall: a qualifying pair is MISSED only when
     both endpoints survive (neither got a dup_of) — the two docs would
