@@ -1386,6 +1386,87 @@ FROM b
 SQL_LANG_ID = _lang_id_sql()
 
 
+_DECON_N = 8           # n-gram width (the common decontamination unit)
+_DECON_MIN_OVERLAP = 3  # distinct shared n-grams to flag a pair
+
+
+def _ngrams_of_words(w: Column, n: int) -> Column:
+    """Distinct word n-grams of a WORDS attribute column; < n words →
+    empty. slice/concat_ws inside the lambda touch only the attribute
+    `w` and per-element state (the interpreted-HOF re-evaluation trap
+    applies to outer EXPRESSIONS, not attributes — see
+    _shingles_of_words)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.when(F.size(w) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data step that flags
+    corpus documents sharing ≥ K distinct word 8-grams with an
+    evaluation set (the standard n-gram-overlap contamination test,
+    e.g. GPT-3 appendix C / Gopher's 13-gram variant — same shape,
+    sandbox-sized n). Benchmark rows are synthesized natively from the
+    corpus itself (every 50th doc donates a 12-word span at word 5) so
+    hits are guaranteed and deterministic: (doc_id, bench_id,
+    overlap_8grams) per flagged pair — the donor doc always flags
+    against its own benchmark row, near-dups of the donor usually do.
+
+    Scale shape: the eval set is tiny by nature → its exploded n-grams
+    BROADCAST to the corpus-side n-gram flatmap (plan-gated, no shuffle
+    of the corpus explode); count-distinct-per-pair partially aggregates
+    map-side. At 100 TB the corpus side streams through one generate +
+    one broadcast hash join — no all-pairs anything."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    words = docs.select("doc_id", _words_col(F.col("text")).alias("w"))
+    doc_sh = (words
+              .select("doc_id",
+                      _ngrams_of_words(F.col("w"), _DECON_N).alias("sh"))
+              .select("doc_id", F.explode("sh").alias("shingle")))
+    bench = (words
+             .filter((F.col("doc_id") % 50 == 0) & (F.size("w") >= 16))
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.slice(F.col("w"), 5, 12).alias("bw")))
+    bench_sh = (bench
+                .select("bench_id",
+                        _ngrams_of_words(F.col("bw"),
+                                         _DECON_N).alias("sh"))
+                .select("bench_id", F.explode("sh").alias("shingle")))
+    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count_distinct("shingle").cast("int")
+                 .alias("overlap_8grams"))
+            .filter(F.col("overlap_8grams") >= _DECON_MIN_OVERLAP))
+    return hits
+
+
+SQL_CONTAMINATION = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+d AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(w) - {_DECON_N - 1} + 1),
+           i -> array_to_string(w[i:i+{_DECON_N - 1}], ' ')))) AS shingle
+  FROM w WHERE len(w) >= {_DECON_N}),
+b0 AS (
+  SELECT doc_id AS bench_id, w[5:16] AS bw
+  FROM w WHERE doc_id % 50 = 0 AND len(w) >= 16),
+b AS (
+  SELECT bench_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(bw) - {_DECON_N - 1} + 1),
+           i -> array_to_string(bw[i:i+{_DECON_N - 1}], ' ')))) AS shingle
+  FROM b0)
+SELECT d.doc_id, b.bench_id,
+       CAST(count(DISTINCT d.shingle) AS INT) AS overlap_8grams
+FROM d JOIN b USING (shingle)
+GROUP BY d.doc_id, b.bench_id
+HAVING count(DISTINCT d.shingle) >= {_DECON_MIN_OVERLAP}
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min sha256 over word-3-gram shingles (a
     1-permutation minhash — rolling-hash analog, SURVEY extension).
@@ -2559,6 +2640,7 @@ QUERIES = {
     "pii_mask": q_pii_mask,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "contamination": q_contamination,
     "repetition_filters": q_repetition_filters,
     "gopher_quality": q_gopher_quality,
     "c4_line_filters": q_c4_line_filters,
@@ -2614,6 +2696,7 @@ ORACLES = {
     "pii_mask": SQL_PII_MASK,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "contamination": SQL_CONTAMINATION,
     "repetition_filters": SQL_REPETITION_FILTERS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "c4_line_filters": SQL_C4_LINE_FILTERS,

@@ -25,7 +25,8 @@ SUBSET = ["frontier_filters", "politeness_rank", "quality_scores",
           "interleaved_spans", "cosine_topk", "tpch_q1", "sessionize",
           "html_main_md", "ngram_jaccard", "robots_gate", "pii_mask",
           "dedup_clusters", "gopher_quality", "c4_line_filters",
-          "tfidf_top_terms", "url_canonicalize", "chunk_markdown"]
+          "tfidf_top_terms", "url_canonicalize", "chunk_markdown",
+          "contamination"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

@@ -206,6 +206,17 @@ def test_ann_pq_take_ordered_and_broadcast(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_contamination_broadcasts_benchmark_side(spark):
+    # decontamination: the eval-set n-grams must broadcast to the
+    # corpus-side explode — a shuffle of the exploded corpus n-grams on
+    # the join key would dominate the job at 100 TB
+    from axora_spark.queries import q_contamination
+    plan = _physical(q_contamination(spark, SF))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+
+
 def test_composed_wave_frontier_branch_plan(spark):
     # the e2e crawl wave's frontier branch exactly as run_crawl composes
     # it (parse persisted once, shared by content+frontier branches →
