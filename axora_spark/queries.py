@@ -1386,6 +1386,69 @@ FROM b
 SQL_LANG_ID = _lang_id_sql()
 
 
+_MIX_HASH = 2654435761      # Knuth multiplicative constant
+_MIX_MOD = 4294967296       # 2^32
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced deterministic sampling — the training-data MIXING
+    step: give every source (domain) an equal token budget, convert the
+    budget into a per-source keep-rate, and keep each document by a
+    deterministic per-doc uniform draw. Output: the kept (doc_id,
+    source, sample_rate) rows; over-represented sources are downsampled
+    to ~the uniform token share, under-represented ones keep everything
+    (rate capped at 1).
+
+    The per-doc uniform is doc_id·2654435761 mod 2³² / 2³² (Knuth
+    multiplicative hash) — pure integer arithmetic, so the draw is
+    reproducible across engines and runs (sampling you can re-derive is
+    what makes a mixing recipe auditable); a production pipeline seeds
+    the same way per mixing epoch.
+
+    Scale shape: one map-side token estimate, one tiny per-source agg
+    (n_sources rows — its total via an unbounded window over that tiny
+    frame, never over the corpus), broadcast of the rates back onto the
+    corpus, then a stateless filter. No corpus-sized shuffle at all
+    beyond the per-source partial agg."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    est = token_count_col(F.col("text"))
+    toks = docs.select("doc_id", "source", est.alias("tok"))
+    per_src = toks.groupBy("source").agg(
+        F.sum("tok").cast("double").alias("src_tok"))
+    w = Window.partitionBy()
+    rates = per_src.select(
+        "source",
+        F.round(F.least(F.lit(1.0),
+                        (F.sum("src_tok").over(w)
+                         / F.count("*").over(w) / F.col("src_tok")),
+                        ), 6).alias("sample_rate"))
+    u = (F.pmod(F.col("doc_id") * _MIX_HASH, F.lit(_MIX_MOD))
+         .cast("double") / _MIX_MOD)
+    return (toks.join(F.broadcast(rates), "source")
+            .filter(u < F.col("sample_rate"))
+            .select("doc_id", "source", "sample_rate"))
+
+
+SQL_MIX_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(coalesce(list_sum(list_transform({_WORDS_SQL},
+           w -> CAST(ceil(length(w)/4.0) AS INT))), 0) AS INT) AS tok
+  FROM documents),
+s AS (
+  SELECT source, CAST(sum(tok) AS DOUBLE) AS src_tok FROM t
+  GROUP BY source),
+r AS (
+  SELECT source,
+         round(least(1.0, sum(src_tok) OVER () / count(*) OVER ()
+                          / src_tok), 6) AS sample_rate
+  FROM s)
+SELECT t.doc_id, t.source, r.sample_rate
+FROM t JOIN r USING (source)
+WHERE (t.doc_id * {_MIX_HASH}) % {_MIX_MOD} / {_MIX_MOD}.0 < r.sample_rate
+"""
+
+
 _DECON_N = 8           # n-gram width (the common decontamination unit)
 _DECON_MIN_OVERLAP = 3  # distinct shared n-grams to flag a pair
 
@@ -2641,6 +2704,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "contamination": q_contamination,
+    "mix_sample": q_mix_sample,
     "repetition_filters": q_repetition_filters,
     "gopher_quality": q_gopher_quality,
     "c4_line_filters": q_c4_line_filters,
@@ -2697,6 +2761,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "contamination": SQL_CONTAMINATION,
+    "mix_sample": SQL_MIX_SAMPLE,
     "repetition_filters": SQL_REPETITION_FILTERS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "c4_line_filters": SQL_C4_LINE_FILTERS,

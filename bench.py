@@ -40,7 +40,8 @@ HEADLINE = [
     "meta_gate", "url_canonicalize", "chunk_markdown",
     "media_pipeline", "robots_gate", "serp_collect",
     "text_clean", "wave_dedup", "sha256_hash",
-    "pii_mask", "doc_fingerprint", "contamination", "repetition_filters",
+    "pii_mask", "doc_fingerprint", "contamination", "mix_sample",
+    "repetition_filters",
     "gopher_quality", "c4_line_filters", "tfidf_top_terms",
     "dedup_clusters", "lang_id",
     "interleaved_spans", "html_links", "html_main_md", "doc_metadata",
