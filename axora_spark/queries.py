@@ -1386,6 +1386,107 @@ FROM b
 SQL_LANG_ID = _lang_id_sql()
 
 
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+_PR_TELEPORT = 0.15  # NOT computed as 1-_PR_DAMP: 1.0-0.85 is
+# 0.15000000000000002 in doubles while both engines' 0.15 literal is the
+# exact double 0.15 — the oracle mirrors the literal, so the engine must too
+_PR_EDGE_KS = (31, 17)   # two deterministic out-edges per node
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over a deterministic synthetic link
+    graph on the documents table — the second iterative-algorithm shape
+    a frontier engine needs (crawl prioritization by link authority;
+    operators/priority.py is the static-score path, this is the graph
+    one). Node set = doc_ids; each node emits edges to
+    (doc_id·k + 7) mod N for k ∈ {31, 17} (self-loops dropped), so the
+    graph derives purely from the driver table and both engines build
+    the identical structure. 5 power iterations of
+    r' = (1-d)/N + d·Σ_in r/outdeg, dangling nodes' mass redistributed
+    uniformly each step (the standard correction — without it the total
+    mass leaks and ranks drift from the oracle).
+
+    Scale shape per iteration: one shuffle join (ranks ⋈ edges on src)
+    + one keyed agg on dst — the canonical Spark PageRank step; the
+    iteration count is FIXED so the whole thing is one declarative plan
+    (no driver-side fixpoint loop, no checkpointing needed at 5 levels;
+    a convergence-driven variant would reuse connected_components_star's
+    checkpoint-per-round protocol). Output ranks rounded to 6dp —
+    double-sum association differs between engines at ~1e-15, far
+    below the rounding grain."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    ids = docs.select("doc_id")
+    n_df = ids.agg(F.count("*").alias("n"))
+    nodes = ids.crossJoin(F.broadcast(n_df))  # (doc_id, n)
+
+    edges = None
+    for k in _PR_EDGE_KS:
+        e = nodes.select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * k + 7) % F.col("n"))
+                         .alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = edges.join(outdeg, "src")
+
+    ranks = nodes.select("doc_id", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (edges.join(ranks,
+                              edges["src"] == ranks["doc_id"])
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("r") / F.col("outdeg"))
+                        .alias("inflow")))
+        # dangling mass: nodes with no out-edges (possible when both
+        # k-edges self-loop) donate their rank uniformly
+        dangling = (ranks.join(outdeg,
+                               ranks["doc_id"] == outdeg["src"],
+                               "left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0))
+                         .alias("dmass")))
+        ranks = (nodes.join(contrib,
+                            nodes["doc_id"] == contrib["dst"], "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select(
+                     "doc_id",
+                     (F.lit(_PR_TELEPORT) / F.col("n")
+                      + _PR_DAMP * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                                    + F.col("dmass") / F.col("n")))
+                     .alias("r")))
+    return ranks.select("doc_id", F.round("r", 6).alias("rank"))
+
+
+def _pagerank_sql() -> str:
+    edge_sel = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {k} + 7) % (SELECT n FROM nn) "
+        f"AS dst FROM documents" for k in _PR_EDGE_KS)
+    sql = f"""WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS ({edge_sel}),
+e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+od AS (SELECT src, count(*) AS outdeg FROM e1 GROUP BY src),
+e AS (SELECT e1.src, e1.dst, od.outdeg FROM e1 JOIN od USING (src)),
+r0 AS (SELECT doc_id, 1e0 / (SELECT n FROM nn) AS r FROM documents)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+c{i} AS (SELECT e.dst, sum({prev}.r / e.outdeg) AS inflow
+        FROM e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY e.dst),
+d{i} AS (SELECT coalesce(sum(r), 0e0) AS dmass FROM {prev}
+        WHERE doc_id NOT IN (SELECT src FROM od)),
+r{i} AS (SELECT p.doc_id,
+               {_PR_TELEPORT}e0 / (SELECT n FROM nn)
+               + {_PR_DAMP}e0 * (coalesce(c{i}.inflow, 0e0)
+                               + (SELECT dmass FROM d{i})
+                                 / (SELECT n FROM nn)) AS r
+        FROM r0 p LEFT JOIN c{i} ON p.doc_id = c{i}.dst)"""
+        prev = f"r{i}"
+    sql += f"\nSELECT doc_id, round(r, 6) AS rank FROM {prev}"
+    return sql
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 _MIX_HASH = 2654435761      # Knuth multiplicative constant
 _MIX_MOD = 4294967296       # 2^32
 
@@ -2705,6 +2806,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "contamination": q_contamination,
     "mix_sample": q_mix_sample,
+    "pagerank": q_pagerank,
     "repetition_filters": q_repetition_filters,
     "gopher_quality": q_gopher_quality,
     "c4_line_filters": q_c4_line_filters,
@@ -2762,6 +2864,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "contamination": SQL_CONTAMINATION,
     "mix_sample": SQL_MIX_SAMPLE,
+    "pagerank": SQL_PAGERANK,
     "repetition_filters": SQL_REPETITION_FILTERS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "c4_line_filters": SQL_C4_LINE_FILTERS,
