@@ -1428,7 +1428,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = e if edges is None else edges.unionByName(e)
     edges = edges.filter(F.col("src") != F.col("dst"))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges = edges.join(outdeg, "src")
+    # the graph is static across iterations — materialize it once (and
+    # the static DANGLING NODE SET: only its mass changes per round);
+    # without this every iteration's plan re-derives edges+outdeg from
+    # the scan and re-runs the anti-join (measured ~2× the query cost)
+    edges = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    dangling_ids = (nodes.select("doc_id")
+                    .join(outdeg.select(F.col("src").alias("doc_id")),
+                          "doc_id", "left_anti")
+                    .localCheckpoint(eager=False))
 
     ranks = nodes.select("doc_id", (F.lit(1.0) / F.col("n")).alias("r"))
     for _ in range(_PR_ITERS):
@@ -1439,9 +1447,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("inflow")))
         # dangling mass: nodes with no out-edges (possible when both
         # k-edges self-loop) donate their rank uniformly
-        dangling = (ranks.join(outdeg,
-                               ranks["doc_id"] == outdeg["src"],
-                               "left_anti")
+        dangling = (ranks.join(dangling_ids, "doc_id", "left_semi")
                     .agg(F.coalesce(F.sum("r"), F.lit(0.0))
                          .alias("dmass")))
         ranks = (nodes.join(contrib,
@@ -1556,14 +1562,21 @@ _DECON_MIN_OVERLAP = 3  # distinct shared n-grams to flag a pair
 
 def _ngrams_of_words(w: Column, n: int) -> Column:
     """Distinct word n-grams of a WORDS attribute column; < n words →
-    empty. slice/concat_ws inside the lambda touch only the attribute
-    `w` and per-element state (the interpreted-HOF re-evaluation trap
-    applies to outer EXPRESSIONS, not attributes — see
-    _shingles_of_words)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)))
-    return F.when(F.size(w) >= n, F.array_distinct(grams)) \
+    empty, duplicates KEPT — dedupe after the explode (a distributed
+    hash dedup) because per-row array_distinct is O(len²) interpreted
+    string compares (measured: it dominated the query). Formulated as a
+    FOLD of zip_with over n shifted slices (the _shingles_of_words
+    shape), not transform(sequence, i → slice(w,i,n)): the slice-per-
+    index form re-slices the array per ELEMENT under interpreted HOF
+    evaluation — n O(len) slices per ROW + n-1 cheap per-element
+    concats instead."""
+    width = F.size(w) - (n - 1)
+    shifted = [F.slice(w, j + 1, width) for j in range(n)]
+    grams = shifted[0]
+    for j in range(1, n):
+        grams = F.zip_with(grams, shifted[j],
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(w) >= n, grams) \
             .otherwise(F.array().cast("array<string>"))
 
 
@@ -1585,10 +1598,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast hash join — no all-pairs anything."""
     docs = _t(spark, sf_dir, "documents", spread=True)
     words = docs.select("doc_id", _words_col(F.col("text")).alias("w"))
+    # posexplode_OUTER + post-filter, NOT plain explode: the inferred
+    # size(sh)>0 pre-filter would re-evaluate the whole n-gram tree as a
+    # predicate (the q_html_links trap); distinct() AFTER the explode
+    # replaces per-row array_distinct (see _ngrams_of_words)
     doc_sh = (words
               .select("doc_id",
                       _ngrams_of_words(F.col("w"), _DECON_N).alias("sh"))
-              .select("doc_id", F.explode("sh").alias("shingle")))
+              .select("doc_id", F.explode_outer("sh").alias("shingle"))
+              .filter(F.col("shingle").isNotNull())
+              .distinct())
     bench = (words
              .filter((F.col("doc_id") % 50 == 0) & (F.size("w") >= 16))
              .select(F.col("doc_id").alias("bench_id"),
@@ -1597,7 +1616,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("bench_id",
                         _ngrams_of_words(F.col("bw"),
                                          _DECON_N).alias("sh"))
-                .select("bench_id", F.explode("sh").alias("shingle")))
+                .select("bench_id",
+                        F.explode_outer("sh").alias("shingle"))
+                .filter(F.col("shingle").isNotNull())
+                .distinct())
     hits = (doc_sh.join(F.broadcast(bench_sh), "shingle")
             .groupBy("doc_id", "bench_id")
             .agg(F.count_distinct("shingle").cast("int")
@@ -1609,20 +1631,22 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONTAMINATION = f"""
 WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
 d AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, len(w) - {_DECON_N - 1} + 1),
-           i -> array_to_string(w[i:i+{_DECON_N - 1}], ' ')))) AS shingle
-  FROM w WHERE len(w) >= {_DECON_N}),
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(w) - {_DECON_N - 1} + 1),
+             i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))) AS shingle
+    FROM w WHERE len(w) >= {_DECON_N})),
 b0 AS (
   SELECT doc_id AS bench_id, w[5:16] AS bw
   FROM w WHERE doc_id % 50 = 0 AND len(w) >= 16),
 b AS (
-  SELECT bench_id,
-         unnest(list_distinct(list_transform(
-           range(1, len(bw) - {_DECON_N - 1} + 1),
-           i -> array_to_string(bw[i:i+{_DECON_N - 1}], ' ')))) AS shingle
-  FROM b0)
+  SELECT DISTINCT bench_id, shingle FROM (
+    SELECT bench_id,
+           unnest(list_transform(
+             range(1, len(bw) - {_DECON_N - 1} + 1),
+             i -> array_to_string(bw[i:i+{_DECON_N - 1}], ' '))) AS shingle
+    FROM b0))
 SELECT d.doc_id, b.bench_id,
        CAST(count(DISTINCT d.shingle) AS INT) AS overlap_8grams
 FROM d JOIN b USING (shingle)
