@@ -1386,6 +1386,112 @@ FROM b
 SQL_LANG_ID = _lang_id_sql()
 
 
+_HLL_M = 16            # registers (4-bit bucket index)
+_HLL_ALPHA = 0.673     # alpha_16 (Flajolet et al. 2007, m=16)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct-word count per source — the
+    classic cardinality sketch (Flajolet, Fusy, Gandouet, Meunier 2007)
+    implemented as a DETERMINISTIC native aggregation so the sandbox can
+    hash-verify it against an identically-specified oracle (Spark's own
+    approx_count_distinct is a black-box HLL++ whose estimate the oracle
+    cannot reproduce; this one pins every bit):
+
+      h      = first 32 bits of sha256(word)
+      bucket = h >> 28 (top 4 bits → m=16 registers)
+      rho    = leading-zero count of the low 28 bits + 1
+               (= 29 - length(bin(w)); w=0 → 29)
+      E      = alpha·m² / Σ 2^-M_j, small-range corrected to
+               m·ln(m/V) when E ≤ 2.5m and V>0 empty registers remain
+
+    Exactness argument for the oracle hash: 2^-M_j are dyadic and their
+    sum is exactly representable, so Z, the division and the comparison
+    are bit-identical across engines; only ln() can differ in the last
+    ulp, absorbed by the 6dp output rounding. Output includes the exact
+    count and the relative error — the sketch's contract (±1.04/√m ≈
+    26% at m=16; production uses m=2¹⁴ ≈ 0.8%, same plan).
+
+    Scale shape: one map-side (source, bucket) partial max — the whole
+    sketch is 16 tiny rows per source however many words stream through;
+    this is THE shape for distinct-URL/host accounting on a 100-TB crawl
+    where exact count-distinct would shuffle every key."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    words = (docs.select("source", _words_col(F.col("text")).alias("ws"))
+             .select("source", F.explode("ws").alias("word")))
+    h = (F.conv(F.substring(F.sha2(F.col("word"), 256), 1, 8), 16, 10)
+         .cast("long"))
+    hashed = words.select("source", h.alias("h"))
+    w_low = F.col("h").bitwiseAND(F.lit((1 << 28) - 1))
+    per_bucket = (hashed
+                  .select("source", F.shiftright("h", 28).alias("bucket"),
+                          F.when(w_low == 0, F.lit(29))
+                          .otherwise(29 - F.length(F.bin(w_low)))
+                          .alias("rho"))
+                  .groupBy("source", "bucket")
+                  .agg(F.max("rho").alias("m_reg")))
+    per_src = (per_bucket.groupBy("source")
+               .agg(F.sum(F.pow(F.lit(2.0), -F.col("m_reg")))
+                    .alias("z_present"),
+                    F.count("*").alias("nb")))
+    m = _HLL_M
+    zeros = (m - F.col("nb")).cast("double")
+    z = F.col("z_present") + zeros  # absent registers contribute 2^0
+    raw = F.lit(_HLL_ALPHA * m * m) / z
+    est = F.when((raw <= 2.5 * m) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
+           .otherwise(raw)
+    exact = (words.groupBy("source")
+             .agg(F.count_distinct("word").cast("long").alias("exact")))
+    return (per_src.join(exact, "source")
+            .select("source",
+                    F.round(est, 6).alias("hll_distinct"),
+                    "exact",
+                    F.round(F.abs(est - F.col("exact"))
+                            / F.col("exact"), 6).alias("rel_err")))
+
+
+SQL_HLL_DISTINCT = f"""
+WITH words AS (
+  SELECT source, unnest({_WORDS_SQL}) AS word FROM documents),
+h AS (
+  SELECT source,
+         CAST(('0x' || substr(sha256(word), 1, 8))::UBIGINT AS BIGINT)
+           AS h, word
+  FROM words),
+rb AS (
+  SELECT source, h >> 28 AS bucket,
+         CASE WHEN (h & {(1 << 28) - 1}) = 0 THEN 29
+              ELSE 29 - length(bin(h & {(1 << 28) - 1})) END AS rho
+  FROM h),
+regs AS (
+  SELECT source, bucket, max(rho) AS m_reg FROM rb
+  GROUP BY source, bucket),
+agg AS (
+  SELECT source, sum(power(2.0, -m_reg)) AS z_present,
+         count(*) AS nb
+  FROM regs GROUP BY source),
+est AS (
+  SELECT source,
+         CASE WHEN ({_HLL_ALPHA * _HLL_M * _HLL_M}e0
+                    / (z_present + CAST({_HLL_M} - nb AS DOUBLE)))
+                   <= {2.5 * _HLL_M}e0
+                   AND ({_HLL_M} - nb) > 0
+              THEN {float(_HLL_M)}e0
+                   * ln({float(_HLL_M)}e0
+                        / CAST({_HLL_M} - nb AS DOUBLE))
+              ELSE {_HLL_ALPHA * _HLL_M * _HLL_M}e0
+                   / (z_present + CAST({_HLL_M} - nb AS DOUBLE)) END AS e
+  FROM agg),
+ex AS (
+  SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS exact
+  FROM words GROUP BY source)
+SELECT est.source, round(e, 6) AS hll_distinct, ex.exact,
+       round(abs(e - exact) / exact, 6) AS rel_err
+FROM est JOIN ex USING (source)
+"""
+
+
 _PR_ITERS = 5
 _PR_DAMP = 0.85
 _PR_TELEPORT = 0.15  # NOT computed as 1-_PR_DAMP: 1.0-0.85 is
@@ -2831,6 +2937,7 @@ QUERIES = {
     "contamination": q_contamination,
     "mix_sample": q_mix_sample,
     "pagerank": q_pagerank,
+    "hll_distinct": q_hll_distinct,
     "repetition_filters": q_repetition_filters,
     "gopher_quality": q_gopher_quality,
     "c4_line_filters": q_c4_line_filters,
@@ -2889,6 +2996,7 @@ ORACLES = {
     "contamination": SQL_CONTAMINATION,
     "mix_sample": SQL_MIX_SAMPLE,
     "pagerank": SQL_PAGERANK,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "repetition_filters": SQL_REPETITION_FILTERS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "c4_line_filters": SQL_C4_LINE_FILTERS,

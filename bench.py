@@ -43,7 +43,7 @@ HEADLINE = [
     "pii_mask", "doc_fingerprint", "contamination", "mix_sample",
     "repetition_filters",
     "gopher_quality", "c4_line_filters", "tfidf_top_terms",
-    "dedup_clusters", "lang_id", "pagerank",
+    "dedup_clusters", "lang_id", "pagerank", "hll_distinct",
     "interleaved_spans", "html_links", "html_main_md", "doc_metadata",
     "tpch_q1", "tpch_q3", "tpch_q5", "topk_per_group",
     "broadcast_join_agg",
