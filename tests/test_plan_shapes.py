@@ -210,11 +210,42 @@ def test_contamination_broadcasts_benchmark_side(spark):
     # decontamination: the eval-set n-grams must broadcast to the
     # corpus-side explode — a shuffle of the exploded corpus n-grams on
     # the join key would dominate the job at 100 TB
+    import re
     from axora_spark.queries import q_contamination
     plan = _physical(q_contamination(spark, SF))
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    # VERDICT r4 #1: the corpus side must reach the broadcast join with
+    # NO exchange — the r4 pre-join distinct() shuffled every corpus
+    # 8-gram on (doc_id, shingle) before the join. The only
+    # hashpartitioning exchanges allowed are the post-join pair agg on
+    # (doc_id, bench_id) and the (tiny) eval-side dedup on
+    # (bench_id, shingle).
+    assert not re.search(r"hashpartitioning\(doc_id#\d+, shingle", final)
+    parts = re.findall(r"hashpartitioning\(([a-z_]+)#\d+, ([a-z_]+)", final)
+    assert set(parts) <= {("doc_id", "bench_id"), ("bench_id", "shingle")}, \
+        parts
+
+
+def test_hll_sketch_only_no_exact_branch(spark):
+    # VERDICT r4 #2: the registered HLL query must be sketch-only — no
+    # count(distinct word) full-corpus shuffle bolted on. The only
+    # exchanges are the two tiny partial-aggregating ones of the sketch
+    # itself: (source, bucket) then (source).
+    import re
+    from axora_spark.queries import q_hll_distinct
+    plan = _physical(q_hll_distinct(spark, SF))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "count(distinct" not in final.lower()
+    assert "Join" not in final
+    parts = re.findall(r"hashpartitioning\(([a-z_#0-9, ]+?)\)", final)
+    keys = {tuple(p.split("#")[0] for p in q.split(", ")[:-1])
+            for q in parts}
+    assert keys <= {("source", "bucket"), ("source",)}, parts
+    # partial aggregation on the map side (the whole point: at most
+    # sources x m rows ever shuffle)
+    assert final.count("HashAggregate") >= 4
 
 
 def test_composed_wave_frontier_branch_plan(spark):
