@@ -26,6 +26,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from axora_spark.checkpoints import release as release_checkpoint
 
 
 # --------------------------------------------------------------------------
@@ -132,6 +135,21 @@ def ngram_jaccard_dedup(docs: DataFrame, threshold: float = 0.8,
     stayed stuck for 8 straight re-salted rounds; random leadership
     hits a stuck pair's own endpoint with probability 2/block and
     collapses them — SCALE.md has the numbers)."""
+    result, _keyed = _dedup_pass(docs, threshold, n_keys, round_to,
+                                 key_salt, band_width, leader_salt)
+    # _keyed stays persisted: the returned (lazy) frame still reads
+    # through it. Callers that eagerly materialize the result and need
+    # storage back use _dedup_pass directly (the iterated loop does).
+    return result
+
+
+def _dedup_pass(docs: DataFrame, threshold: float, n_keys: int,
+                round_to: int, key_salt: str, band_width: int,
+                leader_salt: str | None
+                ) -> tuple[DataFrame, DataFrame]:
+    """One leader-dedup pass; returns (result, keyed_checkpoint) so
+    loop callers can unpersist the internal checkpoint once they have
+    materialized the result (ADVICE r4 leak class)."""
     # keyed feeds both the leader aggregation and the candidate join;
     # exchange reuse does not bridge self-join branches (verified on the
     # minhash path — each branch carried the full sha256 key pipeline),
@@ -162,8 +180,9 @@ def ngram_jaccard_dedup(docs: DataFrame, threshold: float = 0.8,
     # a doc can qualify under both keys → keep the smallest leader
     best = cands.groupBy("doc_id").agg(
         F.min(F.struct("leader", "jaccard")).alias("_b"))
-    return best.select("doc_id", F.col("_b.leader").alias("dup_of"),
-                       F.col("_b.jaccard").alias("jaccard"))
+    return (best.select("doc_id", F.col("_b.leader").alias("dup_of"),
+                        F.col("_b.jaccard").alias("jaccard")),
+            keyed)
 
 
 def ngram_jaccard_dedup_iterated(docs: DataFrame, threshold: float = 0.8,
@@ -216,34 +235,50 @@ def ngram_jaccard_dedup_iterated(docs: DataFrame, threshold: float = 0.8,
     assigned = None
     survivors = docs
     dry = 0
-    for rnd in range(max_rounds):
-        got = ngram_jaccard_dedup(
-            survivors, threshold=threshold, n_keys=n_keys,
-            round_to=round_to,
-            key_salt="" if rnd == 0 else f"r{rnd}",
-            band_width=1 if rnd == 0 else 2,
-            leader_salt=None if rnd == 0 else f"L{rnd}")
-        got = got.localCheckpoint(eager=True)  # one fixpoint check/round
-        n_new = got.count()
-        if n_new == 0:
-            # refinement keys are randomized per round — one barren salt
-            # doesn't prove the next is; stop after 2 consecutive dry
-            dry += 1
-            if dry >= 2:
-                break
-            continue
-        dry = 0
-        assigned = got if assigned is None else assigned.union(got)
-        prev = survivors
-        survivors = (survivors.join(got.select("doc_id"), "doc_id",
-                                    "left_anti")
-                     .localCheckpoint(eager=True))
-        if prev is not docs:  # round ≥2: drop the superseded checkpoint
-            prev.unpersist()
+    try:
+        for rnd in range(max_rounds):
+            got, keyed = _dedup_pass(
+                survivors, threshold, n_keys, round_to,
+                "" if rnd == 0 else f"r{rnd}",
+                1 if rnd == 0 else 2,
+                None if rnd == 0 else f"L{rnd}")
+            got = got.localCheckpoint(eager=True)  # one fixpoint chk/rnd
+            release_checkpoint(keyed)  # got is self-contained now
+            n_new = got.count()
+            if n_new == 0:
+                # refinement keys are randomized per round — one barren
+                # salt doesn't prove the next is; stop after 2 dry
+                release_checkpoint(got)  # empty round backs nothing
+                dry += 1
+                if dry >= 2:
+                    break
+                continue
+            dry = 0
+            assigned = got if assigned is None else assigned.union(got)
+            prev = survivors
+            survivors = (survivors.join(got.select("doc_id"), "doc_id",
+                                        "left_anti")
+                         .localCheckpoint(eager=True))
+            if prev is not docs:  # round ≥2: drop superseded checkpoint
+                release_checkpoint(prev)
+    finally:
+        # ADVICE r4: the FINAL survivors checkpoint and the initial docs
+        # one are not part of the returned union (only the per-round
+        # `got` checkpoints back it) — drop them or executor storage
+        # grows per invocation over a long session
+        if survivors is not docs:
+            release_checkpoint(survivors)
+        if assigned is not None:
+            release_checkpoint(docs)  # got checkpoints are self-contained
     if assigned is None:
-        return (docs.select("doc_id").limit(0)
-                .withColumn("dup_of", F.lit(None).cast("long"))
-                .withColumn("jaccard", F.lit(None).cast("double")))
+        # schema-only empty result built WITHOUT referencing the (now
+        # unpersistable) docs checkpoint
+        spark = docs.sparkSession
+        schema = T.StructType([docs.schema["doc_id"],
+                               T.StructField("dup_of", T.LongType()),
+                               T.StructField("jaccard", T.DoubleType())])
+        release_checkpoint(docs)
+        return spark.createDataFrame([], schema)
     return assigned
 
 
@@ -367,7 +402,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             # each round's checkpoint supersedes the last — unpersist the
             # stale one or executor storage grows linearly with rounds
             # (and with every invocation in a long session, code-review r4)
-            labels.unpersist()
+            release_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 # the result must outlive the finally-block unpersists:
@@ -379,8 +414,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iter} rounds")
     finally:
-        sym.unpersist()
-        labels.unpersist()
+        release_checkpoint(sym)
+        release_checkpoint(labels)
 
 
 def _ls_mins(e: DataFrame) -> DataFrame:
@@ -393,10 +428,16 @@ def connected_components_star(edges: DataFrame,
                               max_iter: int = 50) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris,
     Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
-    MapReduce and Beyond", SoCC 2014) — the scale path for CC. Same
-    output contract as connected_components: undirected (a, b) edges →
-    (doc_id, cluster_id = component-min doc_id) for every node in an
-    edge.
+    MapReduce and Beyond", SoCC 2014) — the scale path for CC. Output
+    contract: undirected (a, b) edges → (doc_id, cluster_id =
+    component-min doc_id) for every node in a NON-self edge. The one
+    divergence from connected_components (ADVICE r4): self-loop-only
+    nodes are dropped here (the a != b prefilter erases them;
+    test_star_cc_self_loops_and_empty pins []) while min-label emits
+    them as singleton clusters — irrelevant in the dedup pipeline since
+    bucket_star_edges never produces self-edges, but callers feeding
+    arbitrary edge lists should pre-split self-loops if they want
+    singletons.
 
     Per alternation, two grouped passes over the edge set:
 
@@ -442,7 +483,7 @@ def connected_components_star(edges: DataFrame,
                   .distinct().localCheckpoint(eager=True))
             same = (ss.count() == e.count()
                     and ss.subtract(e).limit(1).count() == 0)
-            e.unpersist()
+            release_checkpoint(e)
             e = ss
             if same:
                 roots = e.select(F.col("v").alias("doc_id")).distinct() \
@@ -455,7 +496,7 @@ def connected_components_star(edges: DataFrame,
         raise RuntimeError(
             f"connected_components_star: no fixpoint in {max_iter} rounds")
     finally:
-        e.unpersist()
+        release_checkpoint(e)
 
 
 # --------------------------------------------------------------------------

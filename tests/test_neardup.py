@@ -236,6 +236,37 @@ def _uf_components(n_nodes, edges):
     return labels
 
 
+def test_iterated_dedup_releases_checkpoints(spark, docs):
+    # ADVICE r5: long sessions invoke the iterated dedup repeatedly —
+    # only the per-round `got` checkpoints that back the RETURNED union
+    # may stay persisted; the initial docs checkpoint, the final
+    # survivors one, and barren rounds' empty ones must be released.
+    def persisted_ids():
+        # SET of ids, not a count: Spark's ContextCleaner may reap
+        # earlier tests' GC'd checkpoints concurrently, so a global
+        # count races — the ids OUR call adds don't
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    base = persisted_ids()
+    # productive path: round 0 assigns the dups, every later round is
+    # dry -> exactly ONE got checkpoint may remain (it backs the result)
+    out = neardup.ngram_jaccard_dedup_iterated(docs, threshold=0.8,
+                                               max_rounds=3)
+    assert out.count() >= 2
+    assert len(persisted_ids() - base) == 1
+    # empty path: nothing qualifies -> nothing at all may remain
+    base = persisted_ids()
+    lonely = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "vv ww xx yy zz")],
+        "doc_id long, text string")
+    empty = neardup.ngram_jaccard_dedup_iterated(lonely, threshold=0.9,
+                                                 max_rounds=3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"doc_id", "dup_of", "jaccard"}
+    assert persisted_ids() - base == set()
+
+
 def test_connected_components_vs_union_find(spark):
     import random
     rng = random.Random(7)
