@@ -57,7 +57,17 @@ class CrawlConfig:
                                     # target mode turns this on (north_rule)
     priority_mode: str = "none"     # "none" (reference-compat: colly has no
                                     # priorities) | "url_score" (target mode,
-                                    # operators/priority.py)
+                                    # operators/priority.py) | "pagerank"
+                                    # (link-authority admission over the
+                                    # crawl's own extracted graph,
+                                    # operators/pagerank.py — VERDICT r4 #5)
+    rank_every: int = 1             # pagerank mode: recompute the rank
+                                    # table on waves where wave %
+                                    # rank_every == 0, reuse the committed
+                                    # table otherwise — at 10^10 URLs the
+                                    # full power iteration amortizes over
+                                    # k waves while the frontier join
+                                    # stays per-wave
     topic: str = "economy"          # rest.http:5
     chunk_method: str = "md"        # "md" | "sen" (chunking.go:52-58)
     tokenizer: str = "wordpiece"    # "wordpiece" (BGE/BERT vocab, X10,

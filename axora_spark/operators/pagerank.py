@@ -1,0 +1,91 @@
+"""Fixed-iteration PageRank as a reusable operator (VERDICT r4 #5).
+
+Round 4 shipped the power iteration inside q_pagerank over a synthetic
+graph; this module is the generic form, shared by the driver query AND
+the crawl engine's link-authority priority path
+(plans/crawl.py priority_mode="pagerank": ranks over the accumulated
+url_hash link graph feed W1 admission order — the queue-order analog of
+the reference's FIFO, crawler/crawler.go:111-127, upgraded to
+authority-first).
+
+r' = teleport/N + damp * (sum_in r/outdeg + dangling_mass/N)
+
+teleport is an EXPLICIT parameter (default 0.15), never computed as
+1-damp: 1.0-0.85 is 0.15000000000000002 in doubles while both engines'
+0.15 literal is the exact double 0.15 — cross-engine oracle parity
+requires the literal.
+
+Scale shape per iteration: one shuffle join (ranks ⋈ edges on src) +
+one keyed agg on dst — the canonical Spark PageRank step. The static
+subframes (edges+outdeg, dangling id set) are localCheckpointed ONCE:
+without that every iteration's plan re-derives them from the scan and
+re-runs the anti-join (measured ~2x the query cost, SCALE.md). The
+iteration count is FIXED so the whole thing is one declarative plan —
+a convergence-driven variant would reuse connected_components_star's
+checkpoint-per-round protocol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
+             damp: float = 0.85, teleport: float = 0.15,
+             handles: list | None = None) -> DataFrame:
+    """edges: (src, dst) directed, parallel edges count multiply,
+    self-loops dropped here. nodes: (doc_id) — the full node universe
+    (isolated nodes still receive teleport + dangling mass).
+    Returns (doc_id, r:double), unrounded — callers round for oracle
+    comparison (double-sum association differs between engines at
+    ~1e-15).
+
+    handles: optional list the operator appends its two internal lazy
+    checkpoints to (edges+outdeg, dangling ids) so LOOP callers can
+    checkpoints.release() them once the returned ranks are
+    materialized — a crawl session ranking every wave would otherwise
+    accrete two checkpoints per wave (the r5 no-op-unpersist lesson,
+    SCALE.md Memory).
+
+    Skew: hub pages (huge in-degree) are absorbed by the partial
+    aggregation — per-partition sums combine before the dst shuffle;
+    huge OUT-degree is a map-side fan-out of the edge list, no hot
+    reduce key either way."""
+    ids = nodes.select("doc_id")
+    n_df = ids.agg(F.count("*").alias("n"))
+    nodes_n = ids.crossJoin(F.broadcast(n_df))  # (doc_id, n)
+
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # static across iterations — materialize once (SCALE.md lesson)
+    e = e.join(outdeg, "src").localCheckpoint(eager=False)
+    dangling_ids = (nodes_n.select("doc_id")
+                    .join(outdeg.select(F.col("src").alias("doc_id")),
+                          "doc_id", "left_anti")
+                    .localCheckpoint(eager=False))
+    if handles is not None:
+        handles.extend([e, dangling_ids])
+
+    ranks = nodes_n.select("doc_id",
+                           (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(iters):
+        contrib = (e.join(ranks, e["src"] == ranks["doc_id"])
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("r") / F.col("outdeg"))
+                        .alias("inflow")))
+        # dangling mass: nodes with no out-edges donate uniformly
+        dangling = (ranks.join(dangling_ids, "doc_id", "left_semi")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0))
+                         .alias("dmass")))
+        ranks = (nodes_n.join(contrib,
+                              nodes_n["doc_id"] == contrib["dst"],
+                              "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select(
+                     "doc_id",
+                     (F.lit(teleport) / F.col("n")
+                      + damp * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                                + F.col("dmass") / F.col("n")))
+                     .alias("r")))
+    return ranks

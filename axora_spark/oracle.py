@@ -53,6 +53,46 @@ class OracleResult:
     per_wave_metrics: list[dict] = field(default_factory=list)
 
 
+def _round6(x: float) -> float:
+    """Mirror Spark's F.round on doubles exactly: Spark rounds via
+    BigDecimal.valueOf(x) (= the double's SHORTEST decimal repr) with
+    HALF_UP; Python's repr(x) is the same shortest round-trip string,
+    so Decimal(repr(x)) quantized HALF_UP is bit-equivalent. Plain
+    round() is banker's rounding and diverges on .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           ROUND_HALF_UP))
+
+
+def _pagerank_py(edges: set[tuple[str, str]], iters: int = 5,
+                 damp: float = 0.85, teleport: float = 0.15
+                 ) -> dict[str, float]:
+    """Pure-Python twin of operators/pagerank.pagerank over canonical
+    URLs (the engine runs it over url_hash longs — same graph, keyed
+    differently). Summation order differs from Spark's partial
+    aggregation at ~1e-16 relative; the 6dp priority rounding on both
+    sides absorbs it (plans/crawl._pagerank_priorities)."""
+    e = {(s, d) for s, d in edges if s != d}
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out: dict[str, list[str]] = {}
+    for s, d in sorted(e):
+        out.setdefault(s, []).append(d)
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(iters):
+        inflow = {u: 0.0 for u in nodes}
+        for s, ds in out.items():
+            c = r[s] / len(ds)
+            for d in ds:
+                inflow[d] += c
+        dmass = sum(r[u] for u in nodes if u not in out)
+        r = {u: teleport / n + damp * (inflow[u] + dmass / n)
+             for u in nodes}
+    return r
+
+
 def simulate(pages: list[dict], cfg: CrawlConfig,
              robots_txt: dict[str, str] | None = None) -> OracleResult:
     """`pages`: link_graph rows (url, host, out_links, ...).
@@ -93,6 +133,8 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                                min(prev[2], 0))
 
     seen: set[str] = set()
+    link_edges: set[tuple[str, str]] = set()  # priority_mode="pagerank"
+    ranks_cache: dict[str, float] = {}        # committed rank table twin
     admitted_log: list[tuple[int, str, int, str, int]] = []
     metrics: list[dict] = []
     wave = 0
@@ -137,6 +179,16 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
             page = page_by_url.get(u)
             if page is None:
                 continue  # fetch error — OnError just logs (crawler.go)
+            if cfg.priority_mode == "pagerank":
+                # link graph is WIDER than the frontier (extract.
+                # edges_from_fetched): every fetched page contributes,
+                # even at the depth horizon; every canonicalizable href
+                # counts, even filter-rejected targets
+                for href in page["out_links"] or []:
+                    c_dst = urlnorm.canonicalize(
+                        urlnorm.absolutize(u, href))
+                    if c_dst:
+                        link_edges.add((u, c_dst))
             depth = candidates[u][0]
             child_depth = depth + 1
             if child_depth > cfg.max_depth:  # W2 — colly MaxDepth
@@ -155,6 +207,15 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                     next_frontier[c] = (min(prev[0], child_depth),
                                         max(prev[1], p),
                                         min(prev[2], wave + 1))
+        if cfg.priority_mode == "pagerank":
+            # mirror plans/crawl._pagerank_priorities: recompute the
+            # rank table on wave % rank_every == 0, reuse the committed
+            # one otherwise; re-score the WHOLE next frontier, 6dp
+            if wave % cfg.rank_every == 0:
+                ranks_cache = _pagerank_py(link_edges)
+            next_frontier = {
+                u: (d, _round6(ranks_cache.get(u, 0.0)), w)
+                for u, (d, _p, w) in next_frontier.items()}
         metrics.append({
             "wave": wave, "candidates": len(candidates),
             "admitted": len(admitted), "deferred": len(deferred),

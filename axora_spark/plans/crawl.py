@@ -30,7 +30,7 @@ from axora_spark import schemas
 from axora_spark.catalog import SnapshotCatalog
 from axora_spark.config import CrawlConfig
 from axora_spark.operators import politeness
-from axora_spark.operators.extract import links_from_fetched
+from axora_spark.operators.extract import edges_from_fetched, links_from_fetched
 from axora_spark.operators.filters import apply_frontier_filters
 from axora_spark.operators.frontier import (anti_join_seen,
                                             build_seen_filters,
@@ -95,6 +95,8 @@ def init_tables(catalog: SnapshotCatalog) -> None:
     catalog.create_table("admitted", schemas.ADMITTED)
     catalog.create_table("lineage", schemas.LINEAGE)
     catalog.create_table("metrics", schemas.METRICS)
+    catalog.create_table("links", schemas.LINKS)
+    catalog.create_table("ranks", schemas.RANKS)
 
 
 def _record_lineage(spark: SparkSession, catalog: SnapshotCatalog, wave: int,
@@ -129,27 +131,32 @@ def expire_history(spark: SparkSession, catalog: SnapshotCatalog,
     protect: set[int] = set()
     if catalog.table_exists("lineage") and \
             catalog.current_snapshot("lineage") is not None:
-        rows = (catalog.read(spark, "lineage")
-                .filter(F.col("table") == table)
-                .select("wave", "snapshot_id").collect())
-        ids = sorted((int(r.wave), int(r.snapshot_id)) for r in rows)
-        if ids:
-            protect.add(ids[-1][1])  # current tip
+        lin = (catalog.read(spark, "lineage")
+               .filter(F.col("table") == table)
+               .select("wave", "snapshot_id"))
+        # top-2 by (wave, snapshot_id) via TakeOrderedAndProject — O(1)
+        # driver rows however long the session (ADVICE r4: the previous
+        # full collect grew linearly with wave count per call)
+        top2 = (lin.orderBy(F.desc("wave"), F.desc("snapshot_id"))
+                .limit(2).collect())
+        if top2:
+            protect.add(int(top2[0].snapshot_id))  # current tip
             state = _load_state(catalog)
             if state is not None:
-                committed = [sid for w, sid in ids
-                             if w < state["next_wave"]]
-                if committed:
-                    protect.add(committed[-1])  # crash-rollback target
-            elif len(ids) >= 2:
-                protect.add(ids[-2][1])
+                m = (lin.filter(F.col("wave") < state["next_wave"])
+                     .agg(F.max(F.struct("wave", "snapshot_id"))
+                          .alias("m")).first().m)
+                if m is not None:
+                    protect.add(int(m.snapshot_id))  # rollback target
+            elif len(top2) == 2:
+                protect.add(int(top2[1].snapshot_id))
     return catalog.expire_snapshots(table, keep_last=keep_last,
                                     protect_ids=protect)
 
 
 # every table a wave mutates — the rollback set for mid-wave crash recovery
-_MANAGED_TABLES = ("frontier", "seen", "admitted", "metrics",
-                   "documents", "chunks", "vectors")
+_MANAGED_TABLES = ("frontier", "seen", "admitted", "metrics", "links",
+                   "ranks", "documents", "chunks", "vectors")
 
 
 def _rollback_incomplete_wave(spark: SparkSession, catalog: SnapshotCatalog,
@@ -184,6 +191,58 @@ def _rollback_incomplete_wave(spark: SparkSession, catalog: SnapshotCatalog,
                 for r in rows if r.wave < next_wave]
         catalog.overwrite(spark, "lineage",
                           spark.createDataFrame(keep, schemas.LINEAGE))
+
+
+def _pagerank_priorities(spark: SparkSession, catalog: SnapshotCatalog,
+                         nxt: DataFrame, wave: int, rank_every: int
+                         ) -> tuple[DataFrame, int | None]:
+    """Re-score a frontier with link-authority ranks
+    (priority_mode="pagerank", VERDICT r4 #5): power-iterate the
+    accumulated `links` graph (operators/pagerank.py — the exact code
+    path the pagerank driver query verifies against DuckDB), COMMIT the
+    rank table to the catalog, and overwrite `priority` with each
+    candidate's rank. Returns (rescored frontier, ranks snapshot id or
+    None when this wave reused the committed table).
+
+    Cadence: the full power iteration runs only on waves where
+    wave % rank_every == 0 (at 10^10 URLs it is the expensive step;
+    the rank join is cheap and stays per-wave). Committing ranks to the
+    catalog makes the off-waves free AND removes per-wave checkpoint
+    juggling — the overwrite materializes the iteration, after which
+    the operator's internal checkpoints release immediately
+    (SCALE.md Memory, r5 no-op-unpersist lesson).
+
+    Priorities are ROUNDED to 6dp at commit: the pure-Python oracle
+    twin sums in-flows in a different order than Spark's partial
+    aggregation (~1e-16 relative), so full-precision ordering could
+    flip between engines for structurally-symmetric pages; at 6dp
+    symmetric pages tie exactly on both sides and the W4 url-ASC
+    tie-break decides — deterministically, in both. Candidates nobody
+    links yet (possible only for never-fetched seeds) score 0.0."""
+    from axora_spark.checkpoints import release
+    from axora_spark.operators.pagerank import pagerank
+    sid_ranks = None
+    if wave % rank_every == 0:
+        edges = (catalog.read(spark, "links")
+                 .select("src", "dst").distinct())
+        nodes = (edges.select(F.col("src").alias("doc_id"))
+                 .unionByName(edges.select(F.col("dst").alias("doc_id")))
+                 .distinct())
+        handles: list = []
+        ranks_df = (pagerank(edges, nodes, handles=handles)
+                    .select(F.col("doc_id").alias("url_hash"),
+                            F.round("r", 6).alias("rank")))
+        sid_ranks = catalog.overwrite(spark, "ranks", ranks_df)
+        for h in handles:
+            release(h)
+    ranks = catalog.read(spark, "ranks")
+    cols = [f.name for f in schemas.FRONTIER.fields]
+    out = (nxt.drop("priority")
+           .join(ranks, "url_hash", "left")
+           .withColumn("priority",
+                       F.coalesce(F.col("rank"), F.lit(0.0)))
+           .select(*cols))
+    return out, sid_ranks
 
 
 def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
@@ -327,6 +386,20 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                  .persist())
         nxt = dedup_within_wave(union)
         nxt = anti_join_seen(nxt, catalog.read(spark, "seen"), None)
+        sid_links = None
+        sid_ranks = None
+        if cfg.priority_mode == "pagerank":
+            # link-authority priorities (VERDICT r4 #5): accumulate this
+            # wave's (src, dst) url_hash edges, power-iterate the WHOLE
+            # graph so far, and re-score the next frontier — W1 then
+            # admits by authority. The fixture recomputes per wave for
+            # oracle determinism; a production session would rank every
+            # k waves (the rank join is the same either way).
+            edges_w = edges_from_fetched(fetched).select(
+                F.lit(wave).alias("wave"), "src", "dst")
+            sid_links = catalog.append(spark, "links", edges_w)
+            nxt, sid_ranks = _pagerank_priorities(spark, catalog, nxt,
+                                                  wave, cfg.rank_every)
         sid_frontier = catalog.overwrite(spark, "frontier", nxt)
 
         # A5 — metrics (per wave × host); deduped = rows removed from the
@@ -362,6 +435,10 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
              frontier_meta["n_partitions"]),
             ("metrics", sid_met, 0, 0),
         ]
+        if sid_links is not None:
+            lineage_entries.append(("links", sid_links, 0, 0))
+        if sid_ranks is not None:
+            lineage_entries.append(("ranks", sid_ranks, 0, 0))
         # content tables (written by the sink) join the rollback set so a
         # mid-wave crash can't duplicate documents/chunks/vectors on resume
         for t in ("documents", "chunks", "vectors"):

@@ -22,6 +22,22 @@ SEEN = T.StructType([
     T.StructField("wave", T.IntegerType(), False),
 ])
 
+# Accumulated link graph (priority_mode="pagerank": authority-first
+# admission, VERDICT r4 #5) — url_hash endpoints keep rows 20 bytes
+LINKS = T.StructType([
+    T.StructField("wave", T.IntegerType(), False),
+    T.StructField("src", T.LongType(), False),
+    T.StructField("dst", T.LongType(), False),
+])
+
+# Committed link-authority rank table (priority_mode="pagerank") —
+# overwritten on rank-recompute waves (cfg.rank_every), joined onto the
+# frontier every wave
+RANKS = T.StructType([
+    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("rank", T.DoubleType(), False),
+])
+
 # Admission log: the deterministic crawl order (W4)
 ADMITTED = T.StructType([
     T.StructField("wave", T.IntegerType(), False),

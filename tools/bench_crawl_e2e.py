@@ -149,6 +149,9 @@ def main() -> None:
     ap.add_argument("--fanout", type=int, default=100)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--tokenizer", default="wordpiece")
+    ap.add_argument("--priority", default="none",
+                    help="none | url_score | pagerank (per-wave "
+                         "link-authority ranking, VERDICT r4 #5)")
     args = ap.parse_args()
     H, K = args.hosts, args.fanout
     n_pages = H * (1 + K + K * K)
@@ -173,6 +176,7 @@ def main() -> None:
             wave_seconds=K * K * 5 / 3 * 1.2,  # budget ≥ K² per host/wave
             url_filters=(r"^https://h\d+\.bench\.example/.*$",),
             tokenizer=args.tokenizer,
+            priority_mode=args.priority,
         )
         catalog = SnapshotCatalog(wh)
 
@@ -191,6 +195,7 @@ def main() -> None:
             "metric": "end-to-end crawl session (fetch+parse+content+frontier)",
             "hosts": H, "fanout": K, "corpus_pages": n_pages,
             "tokenizer": args.tokenizer,
+            "priority_mode": args.priority,
             "corpus_gen_sec": round(gen_sec, 1),
             "crawl_wall_sec": round(wall, 1),
             "pages_fetched": fetched,
