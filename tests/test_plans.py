@@ -78,3 +78,32 @@ def test_anti_join_plain_is_single_join(spark):
     p = plan_str(anti_join_seen(fr, seen))
     assert "LeftAnti" in p
     assert "ArrowEvalPython" not in p
+
+
+def test_plans_md_fresh_at_head():
+    # VERDICT r4 #3: the r4 plan-audit artifact was stale at HEAD and
+    # actively misled the contamination review. Gate BOTH properties:
+    # section set == registered query set, and the generation-time
+    # source hash == queries.py at HEAD (any query change without a
+    # tools/dump_plans.py rerun fails here).
+    import hashlib
+    import re
+
+    from axora_spark.queries import QUERIES
+    text = open("/root/repo/PLANS.md").read()
+    # heading scan must skip ``` fences: plan literals can embed the
+    # fixture corpus's own markdown text ("## Setup" etc.)
+    sections, fenced = set(), False
+    for ln in text.splitlines():
+        if ln.startswith("```"):
+            fenced = not fenced
+        elif not fenced:
+            m = re.fullmatch(r"## (\w+)", ln)
+            if m:
+                sections.add(m.group(1))
+    assert sections == set(QUERIES), sorted(sections ^ set(QUERIES))
+    src = open("/root/repo/axora_spark/queries.py", "rb").read()
+    want = hashlib.sha256(src).hexdigest()[:16]
+    m = re.search(r"Source-hash: ([0-9a-f]{16})", text)
+    assert m and m.group(1) == want, \
+        "PLANS.md stale — rerun tools/dump_plans.py"

@@ -7,7 +7,12 @@ Both result sets are fetched THROUGH PANDAS — the same path the driver uses
 pandas float64 renders 36 as 36.0 and must mismatch a Spark int 36, exactly
 as the driver's value hash would).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--json OUT]
+
+--json OUT writes the full-registry evidence artifact (VERDICT r4 #4:
+the driver's 50-row rotation stopped evidencing all 56 queries; this
+file does, every round): {"sf_dir":..., "results": {name: {"status":
+"match"|"rows-only"|"FAIL ...", "rows": N}}}.
 """
 
 from __future__ import annotations
@@ -45,8 +50,14 @@ def normalize_pdf(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import duckdb
@@ -63,23 +74,31 @@ def main():
                 f"read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = []
+    results = {}
+    n_run = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
             if name not in ORACLES:
                 print(f"ok   {name}: {len(spdf)} rows (rows-only, no oracle)")
+                results[name] = {"status": "rows-only", "rows": len(spdf)}
                 continue
             dpdf = con.sql(ORACLES[name]).df()
+            results[name] = {"status": "match", "rows": len(spdf)}
             if sorted(spdf.columns) != sorted(dpdf.columns):
+                results[name] = {"status": "FAIL cols", "rows": len(spdf)}
                 failures.append((name, "cols"))
                 print(f"FAIL {name}: column mismatch "
                       f"{sorted(spdf.columns)} vs {sorted(dpdf.columns)}")
                 continue
             a, b = normalize_pdf(spdf), normalize_pdf(dpdf)
             if len(a) != len(b):
+                results[name] = {"status": f"FAIL rowcount {len(a)}!={len(b)}",
+                                 "rows": len(a)}
                 failures.append((name, f"rowcount {len(a)} != {len(b)}"))
                 print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}")
                 da = [x for x in a if x not in set(b)][:3]
@@ -88,6 +107,8 @@ def main():
                 print("  duck-only :", db)
             elif a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y]
+                results[name] = {"status": f"FAIL {len(diff)} rows differ",
+                                 "rows": len(a)}
                 failures.append((name, f"values differ, e.g. {diff[:1]}"))
                 print(f"FAIL {name}: {len(diff)} differing rows")
                 for x, y in diff[:3]:
@@ -96,10 +117,18 @@ def main():
             else:
                 print(f"ok   {name}: {len(a)} rows")
         except Exception as e:
+            results[name] = {"status": f"ERR {type(e).__name__}", "rows": -1}
             failures.append((name, str(e)[:200]))
             print(f"ERR  {name}: {type(e).__name__}: {str(e)[:300]}")
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} match")
+    if json_out:
+        import json as _json
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "n_registered": len(QUERIES),
+                        "n_run": n_run, "n_fail": len(failures),
+                        "results": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    print(f"\n{n_run - len(failures)}/{n_run} match")
     sys.exit(1 if failures else 0)
 
 
