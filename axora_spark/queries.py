@@ -1474,6 +1474,185 @@ FROM agg
 """
 
 
+_QS_B = 64          # histogram buckets
+_QS_WIDTH = 6.25    # domain [0, 400): 400/64 — exactly representable
+_QS_QS = (0.5, 0.9, 0.99)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch — p50/p90/p99 of event value per
+    event_type estimated from a FIXED-width 64-bucket histogram (the
+    deterministic sibling of t-digest/KLL: mergeable, bounded state,
+    and — unlike approx_percentile's black-box t-digest — every bit of
+    the estimate reproducible by the DuckDB oracle). Production shape
+    for latency/score distributions on a 100-TB crawl: known domain,
+    fixed buckets, error bounded by bucket width.
+
+    Estimate: rank r = q·total; the first bucket whose cumulative count
+    reaches r contributes lo + width·(r − cum_before)/count —
+    classic within-bucket linear interpolation.
+
+    Scale shape vs the exact q_value_percentiles (which shuffles every
+    VALUE to its group): one map-side partial agg to ≤64 rows per
+    event_type, a window over that tiny frame, and a 3-row quantile
+    cross join — sketch traffic is CONSTANT per key however many events
+    stream through (the HLL story for quantiles)."""
+    ev = _t(spark, sf_dir, "events", spread=True)
+    b = F.least(F.lit(_QS_B - 1),
+                F.floor(F.col("value") / _QS_WIDTH)).cast("int")
+    cnts = (ev.groupBy("event_type", b.alias("bucket"))
+            .agg(F.count("*").alias("c")))
+    wspec = Window.partitionBy("event_type").orderBy("bucket")
+    cum = cnts.select("event_type", "bucket", "c",
+                      F.sum("c").over(wspec).alias("cum"))
+    tot = cnts.groupBy("event_type").agg(F.sum("c").alias("total"))
+    qdf = spark.createDataFrame([(q,) for q in _QS_QS], "q double")
+    j = cum.join(tot, "event_type").crossJoin(F.broadcast(qdf))
+    r = F.col("q") * F.col("total")
+    # earliest bucket whose cumulative count covers the rank
+    pick = (j.filter(F.col("cum") >= r)
+            .groupBy("event_type", "q")
+            .agg(F.min(F.struct("bucket", "c", "cum", "total"))
+                 .alias("p")))
+    est = (F.col("p.bucket") * _QS_WIDTH
+           + F.lit(_QS_WIDTH)
+           * (F.col("q") * F.col("p.total")
+              - (F.col("p.cum") - F.col("p.c"))) / F.col("p.c"))
+    def at(q):
+        return F.round(F.max(F.when(F.col("q") == q, est)), 6)
+    return (pick.groupBy("event_type")
+            .agg(at(0.5).alias("p50_est"), at(0.9).alias("p90_est"),
+                 at(0.99).alias("p99_est")))
+
+
+SQL_QUANTILE_SKETCH = f"""
+WITH b AS (
+  SELECT event_type,
+         LEAST({_QS_B - 1},
+               CAST(floor(value / {_QS_WIDTH}) AS INT)) AS bucket
+  FROM events),
+c AS (SELECT event_type, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket, CAST(c AS BIGINT) AS c,
+         CAST(sum(c) OVER (PARTITION BY event_type
+                           ORDER BY bucket) AS BIGINT) AS cum
+  FROM c),
+t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total
+      FROM c GROUP BY 1),
+q(q) AS (VALUES (0.5), (0.9), (0.99)),
+pick AS (
+  SELECT event_type, q, min(struct_pack(bucket := bucket, c := c,
+                                        cum := cum, total := total)) AS p
+  FROM cum JOIN t USING (event_type) CROSS JOIN q
+  WHERE cum >= q * total
+  GROUP BY 1, 2)
+SELECT event_type,
+       round(max(CASE WHEN q = 0.5 THEN p.bucket * {_QS_WIDTH}
+                 + {_QS_WIDTH} * (q * p.total - (p.cum - p.c)) / p.c
+                 END), 6) AS p50_est,
+       round(max(CASE WHEN q = 0.9 THEN p.bucket * {_QS_WIDTH}
+                 + {_QS_WIDTH} * (q * p.total - (p.cum - p.c)) / p.c
+                 END), 6) AS p90_est,
+       round(max(CASE WHEN q = 0.99 THEN p.bucket * {_QS_WIDTH}
+                 + {_QS_WIDTH} * (q * p.total - (p.cum - p.c)) / p.c
+                 END), 6) AS p99_est
+FROM pick GROUP BY event_type
+"""
+
+
+_CMS_D = 4    # hash rows
+_CMS_W = 64   # counters per row (small so the fixture exercises
+              # collisions; production widens w, same plan)
+
+
+def _cms_cells(word: Column) -> Column:
+    """array<struct<i,col>> of the d count-min cells for a word:
+    col_i = first-32-bits of sha256(word ∥ '#cms' ∥ i) mod w."""
+    cells = []
+    for i in range(_CMS_D):
+        h = (F.conv(F.substring(
+            F.sha2(F.concat(word, F.lit(f"#cms{i}")), 256), 1, 8),
+            16, 10).cast("long") % _CMS_W)
+        cells.append(F.struct(F.lit(i).alias("i"), h.alias("col")))
+    return F.array(*cells)
+
+
+def q_cms_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch word-frequency estimates (Cormode & Muthu-
+    krishnan 2005): d=4 hash rows × w=64 counters per source; the
+    estimate for a probe word is min over rows of its counter —
+    always ≥ the true count, with collisions pushing it up (w is
+    deliberately small here so the fixture exercises them; the oracle
+    reproduces every counter bit, so even collided estimates
+    hash-match). Output: (source, word, cms_count) for a FIXED probe
+    set — the distinct words of the corpus's min-doc_id document.
+
+    The probe set being small and given is the operator's contract
+    (heavy-hitter candidates from a stream, blocklist terms, …): the
+    corpus side is ONE map-side partial agg into d·w counters per
+    source — never a vocabulary-sized shuffle (the q_hll_distinct
+    lesson: keep exact-vocabulary work out of the sketch operator).
+
+    Scale shape: counters ≤ sources·d·w rows (tiny, broadcastable);
+    probe × sources cross join is tiny²; the min-over-rows agg runs on
+    probe-sized data."""
+    words = _source_words(spark, sf_dir)
+    cells = (words
+             .select("source", F.explode(_cms_cells(F.col("word")))
+                     .alias("rc"))
+             .groupBy("source", F.col("rc.i").alias("i"),
+                      F.col("rc.col").alias("col"))
+             .agg(F.count("*").alias("c")))
+    docs = _t(spark, sf_dir, "documents")
+    min_id = docs.agg(F.min("doc_id").alias("_mid"))
+    probe = (docs.join(F.broadcast(min_id),
+                       F.col("doc_id") == F.col("_mid"))
+             .select(F.explode(_words_col(F.col("text"))).alias("word"))
+             .distinct())
+    sources = words.select("source").distinct()
+    probe_cells = (sources.crossJoin(F.broadcast(probe))
+                   .select("source", "word",
+                           F.explode(_cms_cells(F.col("word")))
+                           .alias("rc"))
+                   .select("source", "word", F.col("rc.i").alias("i"),
+                           F.col("rc.col").alias("col")))
+    return (probe_cells
+            .join(cells, ["source", "i", "col"], "left")
+            .groupBy("source", "word")
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .cast("long").alias("cms_count")))
+
+
+def _cms_col_sql(word_expr: str, i_expr: str) -> str:
+    return (f"CAST(('0x' || substr(sha256({word_expr} || '#cms' || "
+            f"CAST({i_expr} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) "
+            f"% {_CMS_W}")
+
+
+SQL_CMS_COUNT = f"""
+WITH words AS (
+  SELECT source, unnest({_WORDS_SQL}) AS word FROM documents),
+cells AS (
+  SELECT source, i, {_cms_col_sql('word', 'i')} AS col,
+         count(*) AS c
+  FROM words CROSS JOIN range({_CMS_D}) t(i)
+  GROUP BY 1, 2, 3),
+probe AS (
+  SELECT DISTINCT unnest({_WORDS_SQL}) AS word FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+srcs AS (SELECT DISTINCT source FROM documents),
+pc AS (
+  SELECT s.source, p.word, t.i,
+         {_cms_col_sql('p.word', 't.i')} AS col
+  FROM srcs s CROSS JOIN probe p CROSS JOIN range({_CMS_D}) t(i))
+SELECT pc.source, pc.word,
+       CAST(min(coalesce(cells.c, 0)) AS BIGINT) AS cms_count
+FROM pc LEFT JOIN cells
+  ON pc.source = cells.source AND pc.i = cells.i AND pc.col = cells.col
+GROUP BY 1, 2
+"""
+
+
 _PR_ITERS = 5
 _PR_DAMP = 0.85
 _PR_TELEPORT = 0.15  # NOT computed as 1-_PR_DAMP: 1.0-0.85 is
@@ -2850,6 +3029,8 @@ QUERIES = {
     "mix_sample": q_mix_sample,
     "pagerank": q_pagerank,
     "hll_distinct": q_hll_distinct,
+    "quantile_sketch": q_quantile_sketch,
+    "cms_count": q_cms_count,
     "repetition_filters": q_repetition_filters,
     "gopher_quality": q_gopher_quality,
     "c4_line_filters": q_c4_line_filters,
@@ -2909,6 +3090,8 @@ ORACLES = {
     "mix_sample": SQL_MIX_SAMPLE,
     "pagerank": SQL_PAGERANK,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "quantile_sketch": SQL_QUANTILE_SKETCH,
+    "cms_count": SQL_CMS_COUNT,
     "repetition_filters": SQL_REPETITION_FILTERS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "c4_line_filters": SQL_C4_LINE_FILTERS,

@@ -44,6 +44,7 @@ HEADLINE = [
     "repetition_filters",
     "gopher_quality", "c4_line_filters", "tfidf_top_terms",
     "dedup_clusters", "lang_id", "pagerank", "hll_distinct",
+    "quantile_sketch", "cms_count",
     "interleaved_spans", "html_links", "html_main_md", "doc_metadata",
     "tpch_q1", "tpch_q3", "tpch_q5", "topk_per_group",
     "broadcast_join_agg",

@@ -357,3 +357,34 @@ def test_quality_scores_layered_counts(spark):
     from axora_spark.queries import q_quality_scores
     plan = _physical(q_quality_scores(spark, SF))
     assert plan.count("split(") <= 4
+
+
+def test_quantile_sketch_constant_state_per_key(spark):
+    # sketch contract: the only exchanges carry histogram/bucket-sized
+    # frames — no raw-value shuffle, no exact percentile anywhere
+    import re
+    from axora_spark.queries import q_quantile_sketch
+    plan = _physical(q_quantile_sketch(spark, SF))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "percentile" not in final.lower()
+    parts = re.findall(r"hashpartitioning\(([a-z_#0-9, ]+?)\)", final)
+    keys = {tuple(p.split("#")[0] for p in q.split(", ")[:-1])
+            for q in parts}
+    assert keys <= {("event_type", "bucket"), ("event_type",),
+                    ("event_type", "q"),
+                    ("event_type", "_groupingexpression")}, parts
+
+
+def test_cms_probe_join_never_vocabulary_shuffle(spark):
+    # counters aggregate map-side into (source, i, col) cells; probe
+    # work is probe-sized — no distinct-vocabulary exchange (the
+    # q_hll_distinct r4 lesson)
+    import re
+    from axora_spark.queries import q_cms_count
+    plan = _physical(q_cms_count(spark, SF))
+    final = plan.split("== Initial Plan ==")[0]
+    parts = re.findall(r"hashpartitioning\(([a-z_#0-9, ]+?)\)", final)
+    keys = {tuple(p.split("#")[0] for p in q.split(", ")[:-1])
+            for q in parts}
+    assert keys <= {("source", "i", "col"), ("source", "word"),
+                    ("word",), ("source",)}, parts
