@@ -33,38 +33,46 @@ def hll_alpha(m: int) -> float:
     return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
-def hll_estimate(df: DataFrame, key: str, value: str,
-                 m: int = 16) -> DataFrame:
-    """HyperLogLog distinct-count estimate of `value` per `key`.
-    Returns (key, hll_distinct:double) — m register rows per key live
-    only inside the aggregation, never a corpus-sized shuffle.
+def _check_m(m: int) -> int:
+    p = m.bit_length() - 1
+    if m <= 1 or (1 << p) != m:
+        raise ValueError(f"m must be a power of two >= 2, got {m}")
+    return p
+
+
+def hll_registers(df: DataFrame, key: str, value: str,
+                  m: int = 16) -> DataFrame:
+    """The register half of the sketch: (key, bucket, m_reg) with
+    m_reg = max rho per bucket. This aggregation is the sketch's WHOLE
+    state and max is monotone-mergeable, so it is also the streaming
+    form (streaming/sketch.py runs exactly this groupBy in update mode
+    and merges register tables across restarts by max).
 
       h      = first 32 bits of sha256(value)
       bucket = h >> (32-p)   (top p = log2(m) bits)
       rho    = leading-zero count of the low 32-p bits + 1
-               (= 33-p - length(bin(w)); w = 0 -> 33-p)
-      E      = alpha_m * m^2 / sum(2^-M_j), small-range corrected to
-               m*ln(m/V) when E <= 2.5m and V > 0 empty registers
-
-    Exactness (oracle hash): the 2^-M_j are dyadic and their sum is
-    exactly representable, so Z, the division and the comparison are
-    bit-identical across engines; only ln() can differ in the last
-    ulp, absorbed by 6dp output rounding downstream."""
-    p = m.bit_length() - 1
-    if m <= 1 or (1 << p) != m:
-        raise ValueError(f"m must be a power of two >= 2, got {m}")
+               (= 33-p - length(bin(w)); w = 0 -> 33-p)"""
+    p = _check_m(m)
     low = 32 - p
     h = (F.conv(F.substring(F.sha2(F.col(value), 256), 1, 8), 16, 10)
          .cast("long"))
     hashed = df.select(F.col(key), h.alias("h"))
     w_low = F.col("h").bitwiseAND(F.lit((1 << low) - 1))
-    per_bucket = (hashed
-                  .select(key, F.shiftright("h", low).alias("bucket"),
-                          F.when(w_low == 0, F.lit(low + 1))
-                          .otherwise(low + 1 - F.length(F.bin(w_low)))
-                          .alias("rho"))
-                  .groupBy(key, "bucket")
-                  .agg(F.max("rho").alias("m_reg")))
+    return (hashed
+            .select(key, F.shiftright("h", low).alias("bucket"),
+                    F.when(w_low == 0, F.lit(low + 1))
+                    .otherwise(low + 1 - F.length(F.bin(w_low)))
+                    .alias("rho"))
+            .groupBy(key, "bucket")
+            .agg(F.max("rho").alias("m_reg")))
+
+
+def hll_finalize(per_bucket: DataFrame, key: str,
+                 m: int = 16) -> DataFrame:
+    """Registers -> estimate: E = alpha_m * m^2 / sum(2^-M_j),
+    small-range corrected to m*ln(m/V) when E <= 2.5m and V > 0 empty
+    registers. Pure read-side math over m rows per key."""
+    _check_m(m)
     per_key = (per_bucket.groupBy(key)
                .agg(F.sum(F.pow(F.lit(2.0), -F.col("m_reg")))
                     .alias("z_present"),
@@ -76,3 +84,16 @@ def hll_estimate(df: DataFrame, key: str, value: str,
                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
            .otherwise(raw)
     return per_key.select(key, est.alias("hll_distinct"))
+
+
+def hll_estimate(df: DataFrame, key: str, value: str,
+                 m: int = 16) -> DataFrame:
+    """HyperLogLog distinct-count estimate of `value` per `key`.
+    Returns (key, hll_distinct:double) — m register rows per key live
+    only inside the aggregation, never a corpus-sized shuffle.
+
+    Exactness (oracle hash): the 2^-M_j are dyadic and their sum is
+    exactly representable, so Z, the division and the comparison are
+    bit-identical across engines; only ln() can differ in the last
+    ulp, absorbed by 6dp output rounding downstream."""
+    return hll_finalize(hll_registers(df, key, value, m), key, m)

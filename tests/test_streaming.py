@@ -59,3 +59,44 @@ def test_streaming_url_dedup(spark, tmp_path):
     rows = spark.sql("select url_hash from u_out").collect()
     hashes = sorted(r.url_hash for r in rows)
     assert hashes == [1, 2, 3]
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    # the sketch's register aggregation is its whole state and max is
+    # mergeable, so streamed registers + read-side finalize must equal
+    # the one-shot batch estimate BIT FOR BIT — and stay invariant when
+    # the stream is sliced into single-file micro-batches
+    from axora_spark.functions.sketch import hll_estimate
+    from axora_spark.streaming.sketch import (hll_estimate_from_registers,
+                                              hll_register_stream)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # stage as MANY files so maxFilesPerTrigger really slices batches
+    src = str(tmp_path / "docs")
+    docs.repartition(8).write.parquet(src)
+
+    stream = (spark.readStream.format("parquet")
+              .schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .load(src))
+    words = stream.select(
+        "source",
+        F.explode(F.filter(F.split(F.trim("text"), r"\s+"),
+                           lambda w: w != "")).alias("word"))
+    regs = hll_register_stream(words, "source", "word", m=16)
+    q = (regs.writeStream.outputMode("complete").format("memory")
+         .queryName("hll_regs").start())
+    q.processAllAvailable()
+    q.stop()
+    streamed = hll_estimate_from_registers(
+        spark.sql("select * from hll_regs"), "source", m=16)
+    got = {r.source: r.hll_distinct for r in streamed.collect()}
+
+    batch_words = docs.select(
+        "source",
+        F.explode(F.filter(F.split(F.trim("text"), r"\s+"),
+                           lambda w: w != "")).alias("word"))
+    want = {r.source: r.hll_distinct for r in
+            hll_estimate(batch_words, "source", "word", m=16).collect()}
+    assert got == want
+    assert len(got) >= 10
