@@ -1609,7 +1609,9 @@ def q_cms_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("doc_id") == F.col("_mid"))
              .select(F.explode(_words_col(F.col("text"))).alias("word"))
              .distinct())
-    sources = words.select("source").distinct()
+    # sources listed from the docs scan, NOT words: going through the
+    # explode would re-run the whole word fan-out just to name 20 keys
+    sources = docs.select("source").distinct()
     probe_cells = (sources.crossJoin(F.broadcast(probe))
                    .select("source", "word",
                            F.explode(_cms_cells(F.col("word")))
