@@ -149,3 +149,85 @@ def test_escaped_text_roundtrips_through_paragraph(txt):
                                             parse_dom)
     md = html_to_markdown(parse_dom(f"<body><p>{escape(txt)}</p></body>"))
     assert md == re.sub(r"\s+", " ", txt).strip()
+
+
+@given(st.integers(min_value=-2**63, max_value=2**63 - 1),
+       st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=300, deadline=None)
+def test_mix_draw_python_model_bounded(doc_id, epoch):
+    # pure-Python model of operators/mixing.mix_draw: every intermediate
+    # stays under 2^63 for ANY int64 doc_id and sane epoch (the ADVICE
+    # r4 overflow class), and the draw is a uniform in [0, 1)
+    from axora_spark.operators.mixing import (EPOCH_PRIME, MIX_HASH,
+                                              MIX_MOD)
+    key0 = doc_id % 2**31                       # pmod: non-negative
+    assert 0 <= key0 < 2**31
+    key = (key0 + epoch * EPOCH_PRIME) % 2**31
+    prod = key * MIX_HASH
+    assert prod < 2**63                         # never wraps int64
+    u = prod % MIX_MOD / MIX_MOD
+    assert 0.0 <= u < 1.0
+
+
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                min_size=0, max_size=40),
+       st.integers(min_value=2, max_value=8))
+@settings(max_examples=150, deadline=None)
+def test_ngram_python_model_count(words, n):
+    # the zip_with fold in operators/decontam.ngrams_of_words emits
+    # exactly max(0, len-n+1) n-grams, each the space-join of a window —
+    # pin the python model the SQL oracle and the Spark fold both mirror
+    grams = [" ".join(words[i:i + n])
+             for i in range(max(0, len(words) - n + 1))]
+    assert len(grams) == max(0, len(words) - n + 1)
+    for g in grams:
+        assert g.count(" ") >= n - 1  # n words joined
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=399.99,
+                          allow_nan=False), min_size=1, max_size=500),
+       st.sampled_from([0.5, 0.9, 0.99]))
+@settings(max_examples=100, deadline=None)
+def test_histogram_quantile_rank_model(vals, q):
+    # python model of q_quantile_sketch's estimator: the estimate always
+    # lands inside the bucket containing rank q*n, hence its empirical
+    # CDF is within that bucket's mass of q
+    B, W = 64, 6.25
+    n = len(vals)
+    cnt = [0] * B
+    for v in vals:
+        cnt[min(B - 1, int(v // W))] += 1
+    r = q * n
+    cum = 0
+    for b in range(B):
+        prev, cum = cum, cum + cnt[b]
+        if cum >= r and cnt[b]:
+            est = b * W + W * (r - prev) / cnt[b]
+            break
+    cdf = sum(1 for v in vals if v <= est) / n
+    assert abs(cdf - q) <= cnt[b] / n + 1.0 / n
+    assert b * W - 1e-9 <= est <= (b + 1) * W + 1e-9
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=4),
+                min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_cms_python_model_never_underestimates(words):
+    # python model of q_cms_count: min over rows of hashed counters is
+    # >= the true count for every queried word, for ANY word multiset
+    import hashlib
+    from collections import Counter
+    D, WID = 4, 64
+
+    def col(word, i):
+        h = hashlib.sha256((word + f"#cms{i}").encode()).hexdigest()
+        return int(h[:8], 16) % WID
+
+    counters = [[0] * WID for _ in range(D)]
+    for w in words:
+        for i in range(D):
+            counters[i][col(w, i)] += 1
+    true = Counter(words)
+    for w, t in true.items():
+        est = min(counters[i][col(w, i)] for i in range(D))
+        assert est >= t
