@@ -82,6 +82,13 @@ class CrawlConfig:
     seen_bloom_fpp: float = 0.01
     hot_host_salt: int = 8          # salt shards for skewed hosts (W1)
 
+    def __post_init__(self) -> None:
+        # fail at construction, not mid-wave after appends committed
+        # (code-review r5: wave % 0 raised ZeroDivisionError in-loop)
+        if self.rank_every < 1:
+            raise ValueError(
+                f"rank_every must be >= 1, got {self.rank_every}")
+
     @property
     def host_budget(self) -> int:
         """URLs admitted per host per wave (deterministic politeness)."""

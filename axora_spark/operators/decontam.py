@@ -25,11 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def words_of(text: Column) -> Column:
-    """Whitespace words, empties dropped (matches the DuckDB oracle
-    idiom list_filter(string_split_regex(trim(text),'\\s+'), ...))."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+from axora_spark.functions.words import words_col as words_of
 
 
 def ngrams_of_words(w: Column, n: int) -> Column:

@@ -35,8 +35,9 @@ from axora_spark.checkpoints import release as release_checkpoint
 # Word-set helpers (shared with queries.py's SQL mirrors)
 # --------------------------------------------------------------------------
 
-def words_col(text: Column) -> Column:
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+from axora_spark.functions.words import words_col  # noqa: E402 — the
+# single tokenization definition (code-review r5); oracle parity
+# depends on every operator splitting words identically
 
 
 def block_keys_minword(ws: Column, n_keys: int = 2, salt: str = "",

@@ -72,8 +72,12 @@ def _pagerank_py(edges: set[tuple[str, str]], iters: int = 5,
     differently). Summation order differs from Spark's partial
     aggregation at ~1e-16 relative; the 6dp priority rounding on both
     sides absorbs it (plans/crawl._pagerank_priorities)."""
+    # node universe from the UNFILTERED edge set: the engine derives
+    # nodes from the links table BEFORE the operator drops self-loops
+    # (plans/crawl._pagerank_priorities), so a page whose only link is
+    # itself is still a (dangling) node that shifts N — code-review r5
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     e = {(s, d) for s, d in edges if s != d}
-    nodes = sorted({s for s, _ in e} | {d for _, d in e})
     n = len(nodes)
     if n == 0:
         return {}

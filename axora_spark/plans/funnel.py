@@ -43,25 +43,69 @@ def _stage_schema(col: str) -> T.StructType:
                          T.StructField(col, T.BooleanType(), False)])
 
 
-def _stage_frames(spark: SparkSession, sf_dir: str,
-                  config: dict) -> dict[str, DataFrame]:
+# stage knobs actually wired through (code-review r5: config was
+# hashed but write-only): quality threshold, token window. gopher /
+# exact / clusters take no parameters — their config entries are
+# version tags (bump to force a rebuild).
+_DEFAULTS = {"quality": {"threshold": 67.0},
+             "tokens": {"lo": 75, "hi": 480}}
+
+
+def _stage_builders(spark: SparkSession, sf_dir: str, config: dict):
+    """dict of stage -> zero-arg builder. LAZY on purpose (code-review
+    r5): q_dedup_clusters runs its connected-components fixpoint
+    EAGERLY at frame-construction time, so building all frames up
+    front made a fully-cached rerun pay the most expensive stage."""
     # late import: queries imports operators that import plans elsewhere
     from axora_spark import queries as Q
-    docs = Q._t(spark, sf_dir, "documents", spread=True)
-    wmin = Window.partitionBy(F.sha2(F.col("text"), 256))
-    return {
-        "quality": Q.q_quality_scores(spark, sf_dir).select(
-            "doc_id", F.col("passes").alias("passes_quality")),
-        "gopher": Q.q_gopher_quality(spark, sf_dir).select(
-            "doc_id", "passes_gopher"),
-        "exact": docs.select(
+    from axora_spark.functions.quality import (distinct_word_count,
+                                               score_from_counts,
+                                               sentence_count,
+                                               word_count)
+    from axora_spark.operators.chunking import token_count_col
+
+    def docs():
+        return Q._t(spark, sf_dir, "documents", spread=True)
+
+    def quality():
+        thr = config.get("quality", {}).get(
+            "threshold", _DEFAULTS["quality"]["threshold"])
+        t = F.col("text")
+        # counts materialize as attribute columns FIRST (the
+        # q_quality_scores lesson: the single-select form re-ran the
+        # split 22x per row under interpreted evaluation)
+        base = docs().select("doc_id", word_count(t).alias("wc"),
+                             distinct_word_count(t).alias("dwc"),
+                             sentence_count(t).alias("sc"))
+        score = score_from_counts(F.col("wc"), F.col("dwc"),
+                                  F.col("sc"))
+        return base.select("doc_id",
+                           (score >= thr).alias("passes_quality"))
+
+    def tokens():
+        c = config.get("tokens", {})
+        lo = c.get("lo", _DEFAULTS["tokens"]["lo"])
+        hi = c.get("hi", _DEFAULTS["tokens"]["hi"])
+        tc = token_count_col(F.col("text"))
+        return docs().select(
+            "doc_id", ((tc >= lo) & (tc <= hi))
+            .alias("tokens_in_window"))
+
+    def exact():
+        wmin = Window.partitionBy(F.sha2(F.col("text"), 256))
+        return docs().select(
             "doc_id", (F.col("doc_id") == F.min("doc_id").over(wmin))
-            .alias("is_exact_keeper")),
-        "clusters": Q.q_dedup_clusters(spark, sf_dir).select(
+            .alias("is_exact_keeper"))
+
+    return {
+        "quality": quality,
+        "gopher": lambda: Q.q_gopher_quality(spark, sf_dir).select(
+            "doc_id", "passes_gopher"),
+        "exact": exact,
+        "clusters": lambda: Q.q_dedup_clusters(spark, sf_dir).select(
             "doc_id", (F.col("cluster_id") == F.col("doc_id"))
             .alias("is_cluster_keeper")),
-        "tokens": Q.q_token_counts(spark, sf_dir).select(
-            "doc_id", F.col("in_window").alias("tokens_in_window")),
+        "tokens": tokens,
     }
 
 
@@ -84,8 +128,11 @@ def _save_meta(catalog: SnapshotCatalog, meta: dict) -> None:
     os.replace(tmp, _meta_path(catalog))
 
 
-def config_hash(stage: str, config: dict) -> str:
-    payload = json.dumps({stage: config.get(stage, {})}, sort_keys=True)
+def config_hash(stage: str, config: dict, sf_dir: str) -> str:
+    # sf_dir is part of the key (code-review r5): without it a corpus
+    # switch silently reused stale verdicts from the previous corpus
+    payload = json.dumps({stage: config.get(stage, {}),
+                          "corpus": sf_dir}, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -93,15 +140,17 @@ def materialize_funnel(spark: SparkSession, catalog: SnapshotCatalog,
                        sf_dir: str, config: dict | None = None
                        ) -> list[str]:
     """Write/update the per-stage verdict tables. config: optional
-    {stage: {param: value}} — a stage recomputes iff its config hash
-    differs from the tagged one (or it was never built). Returns the
-    list of stages actually recomputed (resume evidence)."""
+    {stage: {param: value}} — real knobs: quality.threshold,
+    tokens.lo/hi; gopher/exact/clusters entries act as version tags
+    (bump to force a rebuild). A stage recomputes iff its
+    (config, corpus) hash differs from the tagged one (or it was never
+    built). Returns the list of stages actually recomputed."""
     config = config or {}
     meta = _load_meta(catalog)
-    frames = _stage_frames(spark, sf_dir, config)
+    builders = _stage_builders(spark, sf_dir, config)
     ran: list[str] = []
     for stage, col in _BOOL_T.items():
-        want = config_hash(stage, config)
+        want = config_hash(stage, config, sf_dir)
         table = f"funnel_{stage}"
         if meta.get(stage, {}).get("hash") == want and \
                 catalog.table_exists(table) and \
@@ -109,7 +158,7 @@ def materialize_funnel(spark: SparkSession, catalog: SnapshotCatalog,
             continue  # stage verdict already current for this config
         if not catalog.table_exists(table):
             catalog.create_table(table, _stage_schema(col))
-        sid = catalog.overwrite(spark, table, frames[stage])
+        sid = catalog.overwrite(spark, table, builders[stage]())
         # meta commits AFTER the snapshot: a crash between the two just
         # recomputes this one stage on the next run (idempotent — the
         # overwrite supersedes the orphan snapshot)

@@ -29,6 +29,7 @@ from axora_spark.operators import mixing
 from axora_spark.operators.mixing import mix_sample
 from axora_spark.operators.pagerank import pagerank as pagerank_op
 from axora_spark.functions.sketch import hll_alpha, hll_estimate
+from axora_spark.functions.words import WORDS_SQL, words_col
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str,
@@ -46,13 +47,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
-def _words_col(text: Column) -> Column:
-    """Whitespace words, empties dropped — MUST match the DuckDB idiom
-    list_filter(string_split_regex(trim(text),'\\s+'), w -> w <> '')."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
-
-
-_WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+# single definition (code-review r5): functions/words.py owns the
+# tokenization and its SQL mirror
+_words_col = words_col
+_WORDS_SQL = WORDS_SQL
 
 
 # --------------------------------------------------------------------------

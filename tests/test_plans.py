@@ -86,7 +86,6 @@ def test_plans_md_fresh_at_head():
     # section set == registered query set, and the generation-time
     # source hash == queries.py at HEAD (any query change without a
     # tools/dump_plans.py rerun fails here).
-    import hashlib
     import re
 
     from axora_spark.queries import QUERIES
@@ -102,8 +101,11 @@ def test_plans_md_fresh_at_head():
             if m:
                 sections.add(m.group(1))
     assert sections == set(QUERIES), sorted(sections ^ set(QUERIES))
-    src = open("/root/repo/axora_spark/queries.py", "rb").read()
-    want = hashlib.sha256(src).hexdigest()[:16]
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import dump_plans
+    want = dump_plans.plans_source_hash()  # covers every plan-shaping
+    # module, not just queries.py (code-review r5)
     m = re.search(r"Source-hash: ([0-9a-f]{16})", text)
     assert m and m.group(1) == want, \
         "PLANS.md stale — rerun tools/dump_plans.py"

@@ -123,3 +123,23 @@ def test_pagerank_rank_every_cadence(spark, catalog, fixture_pages):
     _compare(spark, catalog, want)
     n_rank_commits = len([s for s in catalog.snapshots("ranks")])
     assert n_rank_commits == (run.waves_run + 1) // 2
+
+
+def test_pagerank_operator_vs_twin_self_loops(spark):
+    # code-review r5: the engine derives the node universe from the
+    # links table BEFORE the operator drops self-loops, so a page whose
+    # only link is itself is still a node; the oracle twin must agree
+    from pyspark.sql import functions as F
+
+    from axora_spark.operators.pagerank import pagerank
+    from axora_spark.oracle import _pagerank_py, _round6
+    edge_set = {(1, 2), (2, 1), (3, 3), (2, 4)}
+    edges = spark.createDataFrame(sorted(edge_set), "src long, dst long")
+    nodes = (edges.select(F.col("src").alias("doc_id"))
+             .unionByName(edges.select(F.col("dst").alias("doc_id")))
+             .distinct())
+    got = {r.doc_id: _round6(r.r)
+           for r in pagerank(edges, nodes).collect()}
+    want = {k: _round6(v) for k, v in _pagerank_py(edge_set).items()}
+    assert got == want
+    assert 3 in got  # the self-loop-only node IS ranked (dangling)
