@@ -1,0 +1,155 @@
+"""Incremental near-duplicate ingest — dedupe each NEW batch of
+documents against the accumulated corpus WITHOUT reprocessing it.
+
+The batch (full-corpus) near-dup family in operators/neardup.py
+re-blocks everything on every run; a production crawl/training-data
+pipeline ingests waves and must answer "is this new doc a near-dup of
+anything we already kept?" at per-wave cost. The standard design (the
+one behind every minhash-LSH dedup service): persist only the MINHASH
+SIGNATURES of surviving documents (n_perm strings per doc — constant
+bytes per doc, no text retained), band them, and bucket-join each new
+batch's bands against the store. Estimated Jaccard = fraction of
+agreeing signature positions (the unbiased minhash estimator) verifies
+candidates without ever re-reading stored text.
+
+Scale accounting:
+  * signature computation is the one-sha256-per-shingle digest-slice
+    family of q_minhash_signature — map-only over the new batch;
+  * the candidate join keys on (band, band_key): the new side is
+    batch-sized; the store side is corpus-sized but 4 rows/doc of
+    ~70 bytes — and because the store is an append-only catalog table,
+    a production deployment writes it BUCKETED by band_key
+    (operators/bucketed.py proves the no-reshuffle pattern), making
+    the store-side exchange a one-time cost, not per-wave;
+  * verification joins signatures (broadcastable batch side) and the
+    final per-doc reduce is min/min_by — partial-aggregating.
+
+dup_of chains to the smallest qualifying id (store doc or earlier
+same-batch doc), matching the leader contract of ngram_jaccard_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axora_spark.catalog import SnapshotCatalog
+from axora_spark.functions.words import shingles_of_words, words_col
+
+N_PERM_DEFAULT = 8
+
+
+def minhash_sig_array(docs: DataFrame,
+                      n_perm: int = N_PERM_DEFAULT) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, sig: array<string>) — the
+    digest-slice one-hash minhash family of q_minhash_signature
+    (permutation i = min over shingles of the i-th 8-hex-char slice of
+    sha256(shingle)), kept in array form for the signature store.
+    Docs with < 3 words have no shingles and are dropped (nothing to
+    compare — exact dedup owns empty/short docs)."""
+    words = (docs.select("doc_id", words_col(F.col("text")).alias("w"))
+             .filter(F.size("w") >= 3))
+    sh = words.select("doc_id", shingles_of_words(F.col("w")).alias("sh"))
+    hashed = sh.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: F.sha2(s, 256)).alias("hs"))
+
+    def _slice_min(lo: int):
+        # closure factory, NOT a lambda default arg (the transform
+        # (element, index) overload trap)
+        return F.array_min(F.transform(
+            F.col("hs"), lambda h: F.substring(h, lo, 8)))
+
+    return hashed.select(
+        "doc_id",
+        F.array(*[_slice_min(i * 8 + 1) for i in range(n_perm)])
+        .alias("sig"))
+
+
+def _bands(sigs: DataFrame, rows_per_band: int,
+           n_perm: int) -> DataFrame:
+    """(doc_id, sig) → (doc_id, band, band_key); band key = sorted
+    concat of the band's slice (the band_buckets convention)."""
+    n_bands = n_perm // rows_per_band
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("|", F.array_sort(
+                     F.slice(F.col("sig"), b * rows_per_band + 1,
+                             rows_per_band))).alias("band_key"))
+        for b in range(n_bands)])
+    return (sigs.select("doc_id", F.explode(bands).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.band_key").alias("band_key")))
+
+
+def incremental_near_dup(new_sigs: DataFrame, store_sigs: DataFrame,
+                         threshold: float = 0.5,
+                         rows_per_band: int = 2,
+                         n_perm: int = N_PERM_DEFAULT,
+                         round_to: int = 6) -> DataFrame:
+    """(doc_id, dup_of, est_jaccard) for NEW docs only. A new doc is a
+    dup if it shares ≥1 LSH band with a store doc or a SMALLER-id doc
+    of the same batch AND the signature-agreement estimate of Jaccard
+    ≥ threshold; dup_of is the smallest qualifying partner."""
+    allsig = (store_sigs.select("doc_id", "sig",
+                                F.lit(True).alias("is_store"))
+              .unionByName(new_sigs.select(
+                  "doc_id", "sig", F.lit(False).alias("is_store"))))
+    ob = _bands(allsig.select("doc_id", "sig"), rows_per_band, n_perm) \
+        .join(allsig.select("doc_id", "is_store"), "doc_id")
+    nb = _bands(new_sigs.select("doc_id", "sig"), rows_per_band, n_perm)
+    a, b = nb.alias("a"), ob.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("b.is_store")
+                      | (F.col("b.doc_id") < F.col("a.doc_id"))))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("partner"))
+            .distinct())
+    sa = new_sigs.select(F.col("doc_id"), F.col("sig").alias("sa"))
+    sb = allsig.select(F.col("doc_id").alias("partner"),
+                       F.col("sig").alias("sb"))
+    est = F.round(
+        F.size(F.filter(F.zip_with(F.col("sa"), F.col("sb"),
+                                   lambda x, y: x == y),
+                        lambda v: v)).cast("double") / n_perm, round_to)
+    verified = (cand.join(sa, "doc_id").join(sb, "partner")
+                .select("doc_id", "partner", est.alias("est"))
+                .filter(F.col("est") >= threshold))
+    return (verified.groupBy("doc_id")
+            .agg(F.min("partner").alias("dup_of"),
+                 F.min_by("est", "partner").alias("est_jaccard")))
+
+
+def dedup_ingest(spark: SparkSession, catalog: SnapshotCatalog,
+                 new_docs: DataFrame, table: str = "sigs",
+                 threshold: float = 0.5, rows_per_band: int = 2,
+                 n_perm: int = N_PERM_DEFAULT) -> DataFrame:
+    """Ingest a (doc_id, text) batch against the catalog's signature
+    store: returns the dup assignments for the batch and appends the
+    SURVIVORS' signatures to `table` (append-only — the store never
+    holds text). Returns (doc_id, dup_of, est_jaccard); callers drop
+    those doc_ids from the batch before admitting it."""
+    from axora_spark.checkpoints import release as release_checkpoint
+    new_sigs = minhash_sig_array(new_docs, n_perm) \
+        .localCheckpoint(eager=True)  # used thrice: assign ×2 + append
+    try:
+        if catalog.table_exists(table):
+            store = catalog.read(spark, table)
+        else:
+            catalog.create_table(table, new_sigs.schema)
+            store = spark.createDataFrame([], new_sigs.schema)
+        # assigns checkpoints eagerly (it is batch-bounded tiny) so the
+        # big signature frame can be RELEASED before returning — the
+        # r5 lesson: DataFrame.unpersist() is a no-op for
+        # localCheckpoint storage, only checkpoints.release frees it
+        assigns = incremental_near_dup(
+            new_sigs, store, threshold=threshold,
+            rows_per_band=rows_per_band, n_perm=n_perm) \
+            .localCheckpoint(eager=True)
+        survivors = new_sigs.join(assigns.select("doc_id"),
+                                  "doc_id", "left_anti")
+        catalog.append(spark, table, survivors)
+        return assigns
+    finally:
+        release_checkpoint(new_sigs)

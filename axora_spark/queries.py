@@ -29,7 +29,9 @@ from axora_spark.operators import mixing
 from axora_spark.operators.mixing import mix_sample
 from axora_spark.operators.pagerank import pagerank as pagerank_op
 from axora_spark.functions.sketch import hll_alpha, hll_estimate
-from axora_spark.functions.words import WORDS_SQL, words_col
+from axora_spark.functions.words import (WORDS_SQL, shingles_of_words,
+                                         words_col)
+from axora_spark.operators.passages import duplicate_passages
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str,
@@ -205,24 +207,10 @@ FROM documents GROUP BY sha256(text)
 N_MINHASH = 8
 
 
-def _shingles_of_words(w: Column) -> Column:
-    """Word 3-gram shingles from a WORDS column; < 3 words → empty array.
-
-    Formulated as zip_with over three slices (NOT element_at inside a
-    transform lambda): lambda bodies that reference an outer *expression*
-    make Catalyst re-evaluate that expression per array element — with the
-    words-split inlined that was O(n_shingles) regex splits per row. All
-    array expressions here sit in argument position → evaluated once per
-    row. Pass a column ATTRIBUTE (words materialized in its own
-    projection), not the split expression: `w` appears 6× below and HOF
-    argument trees are interpreted, so repeated expressions re-evaluate
-    (no codegen CSE inside CodegenFallback — confirmed via PLANS.md)."""
-    n = F.greatest(F.size(w) - 2, F.lit(0))
-    s1 = F.slice(w, F.lit(1), n)
-    s2 = F.slice(w, F.lit(2), n)
-    s3 = F.slice(w, F.lit(3), n)
-    pair = F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.zip_with(pair, s3, lambda ab, c: F.concat(ab, F.lit(" "), c))
+# single definition in functions/words.py (the words_col precedent —
+# the minhash family, doc_fingerprint and the incremental ingest all
+# shingle identically or oracle parity breaks)
+_shingles_of_words = shingles_of_words
 
 
 def _shingles_col(text: Column) -> Column:
@@ -350,6 +338,56 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest (operators/incremental.py): docs with
+    doc_id % 5 == 4 arrive as the NEW batch against a signature store
+    of the rest; a new doc is assigned dup_of = the smallest store or
+    earlier-batch doc sharing an LSH band whose signature-agreement
+    Jaccard estimate is ≥ 0.5. This is the per-wave dedup shape a
+    production pipeline runs instead of re-blocking the whole corpus
+    (the store holds 8 minhash slices per doc, never text)."""
+    from axora_spark.operators.incremental import (incremental_near_dup,
+                                                   minhash_sig_array)
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    new = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
+    store = docs.filter(F.col("doc_id") % 5 != 4).select("doc_id", "text")
+    return incremental_near_dup(minhash_sig_array(new),
+                                minhash_sig_array(store), threshold=0.5)
+
+
+SQL_NEARDUP_INCREMENTAL = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+h AS (SELECT doc_id, list_transform(sh, x -> sha256(x)) AS hs
+      FROM s WHERE len(sh) > 0),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {N_MINHASH}),
+           i -> list_min(list_transform(hs,
+                  x -> substr(x, (i*8)::int + 1, 8)))) AS sig
+  FROM h),
+ob AS (
+  SELECT doc_id, doc_id % 5 <> 4 AS is_store, u.b AS band,
+         list_aggregate(list_sort([sig[2*u.b + 1], sig[2*u.b + 2]]),
+                        'string_agg', '|') AS band_key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b) u),
+nb AS (SELECT doc_id, band, band_key FROM ob WHERE NOT is_store),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS doc_id, ob.doc_id AS partner
+  FROM nb JOIN ob ON nb.band = ob.band AND nb.band_key = ob.band_key
+       AND (ob.is_store OR ob.doc_id < nb.doc_id)),
+v AS (
+  SELECT c.doc_id, c.partner,
+         round(CAST(len(list_filter(range(1, {N_MINHASH} + 1),
+                 i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+               / {N_MINHASH}, 6) AS est
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id
+              JOIN sig sb ON sb.doc_id = c.partner)
+SELECT doc_id, min(partner) AS dup_of,
+       arg_min(est, partner) AS est_jaccard
+FROM v WHERE est >= 0.5 GROUP BY doc_id
 """
 
 
@@ -1851,6 +1889,54 @@ GROUP BY d.doc_id, b.bench_id
 HAVING count(DISTINCT d.shingle) >= {_DECON_MIN_OVERLAP}
 """
 
+_PASSAGE_N = 8
+
+
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated passages (Lee et al. 2022's
+    exact-substring dedup, Spark-native over word 8-grams): maximal
+    word-position spans covered by 8-grams occurring in ≥2 distinct
+    documents — the shared-boilerplate/quoted-passage detector that
+    complements whole-doc (dedup_exact) and near-doc (minhash) dedup.
+    Output: (doc_id, span_start, span_end, span_grams), positions
+    0-based inclusive. operators/passages.py documents the 100-TB
+    shape (hash-keyed gram shuffle, AQE-broadcast verdict join,
+    single doc_id exchange for span assembly); plan-gated: the gram
+    exchanges partition on the 64-bit key, never the gram string."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return duplicate_passages(docs.select("doc_id", "text"),
+                              n=_PASSAGE_N, min_docs=2)
+
+
+SQL_DUPLICATE_PASSAGES = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(0, len(w) - {_PASSAGE_N - 1})) AS pos,
+         unnest(list_transform(range(1, len(w) - {_PASSAGE_N - 1} + 1),
+           i -> array_to_string(w[i:i+{_PASSAGE_N - 1}], ' '))) AS gram
+  FROM w WHERE len(w) >= {_PASSAGE_N}),
+k AS (SELECT gram FROM g GROUP BY gram
+      HAVING min(doc_id) <> max(doc_id)),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN k USING (gram)),
+b AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) > {_PASSAGE_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM p),
+i AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM b)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {_PASSAGE_N - 1} AS INT) AS span_end,
+       CAST(count(*) AS INT) AS span_grams
+FROM i GROUP BY doc_id, island
+"""
+
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min sha256 over word-3-gram shingles (a
@@ -3004,6 +3090,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
     "minhash_near_dup": q_minhash_near_dup,
+    "neardup_incremental": q_neardup_incremental,
     "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3026,6 +3113,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "contamination": q_contamination,
+    "duplicate_passages": q_duplicate_passages,
     "mix_sample": q_mix_sample,
     "pagerank": q_pagerank,
     "hll_distinct": q_hll_distinct,
@@ -3065,6 +3153,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    "neardup_incremental": SQL_NEARDUP_INCREMENTAL,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
@@ -3087,6 +3176,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "contamination": SQL_CONTAMINATION,
+    "duplicate_passages": SQL_DUPLICATE_PASSAGES,
     "mix_sample": SQL_MIX_SAMPLE,
     "pagerank": SQL_PAGERANK,
     "hll_distinct": SQL_HLL_DISTINCT,

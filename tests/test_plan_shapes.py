@@ -388,3 +388,27 @@ def test_cms_probe_join_never_vocabulary_shuffle(spark):
             for q in parts}
     assert keys <= {("source", "i", "col"), ("source", "word"),
                     ("word",), ("source",)}, parts
+
+
+def test_duplicate_passages_hash_keyed_gram_shuffle(spark):
+    # the gram stream shuffles on the 64-bit xxhash key, never the
+    # n-gram STRING (~n x the corpus text volume at 100 TB); span
+    # assembly reuses ONE doc_id partitioning for both windows and the
+    # island aggregate
+    import re
+    from axora_spark.queries import q_duplicate_passages
+    plan = _physical(q_duplicate_passages(spark, SF))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "xxhash64" in final
+    # NOTE the char class includes A-Z: bigint attributes print as
+    # doc_id#459L and a lowercase-only class silently matches NOTHING
+    # (a vacuous <= assertion)
+    parts = re.findall(r"hashpartitioning\(([a-zA-Z_#0-9, ]+?)\)", final)
+    assert parts, "no hashpartitioning exchanges found — regex broken?"
+    keys = {tuple(p.split("#")[0] for p in q.split(", ")[:-1])
+            for q in parts}
+    assert keys == {("gk",), ("doc_id",)}, parts
+    # exactly one doc_id exchange: lag window, cumsum window and the
+    # (doc_id, island) aggregate all run inside it
+    assert len(re.findall(
+        r"hashpartitioning\(doc_id#\d+L?, \d+\)", final)) == 1
