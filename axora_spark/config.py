@@ -79,6 +79,14 @@ class CrawlConfig:
     quality_threshold: float = 67.0  # text_extraction.go:171
     embedding_dim: int = 768        # qdrantdb/crawl_vector.go:28
     max_waves: int = 16             # safety cap on the wave loop
+    near_dup_ingest: bool = False   # per-wave incremental near-dup of
+                                    # extracted documents against the
+                                    # accumulated minhash-signature
+                                    # store (operators/incremental.py);
+                                    # dups land in dup_log instead of
+                                    # documents/chunks/vectors
+    near_dup_threshold: float = 0.5  # signature-agreement Jaccard
+                                    # estimate required to drop a doc
     seen_bloom_fpp: float = 0.01
     hot_host_salt: int = 8          # salt shards for skewed hosts (W1)
 

@@ -107,14 +107,37 @@ def vectors_from_chunks(chunks: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 
 def make_content_sink(cfg: CrawlConfig):
-    """content_sink callable for plans.crawl.run_crawl."""
+    """content_sink callable for plans.crawl.run_crawl.
+
+    cfg.near_dup_ingest adds the incremental near-dup gate between the
+    content pipeline and the sinks: each wave's extracted documents
+    dedupe against the catalog's accumulated minhash-signature store
+    (operators/incremental.py) — near-dups land in `dup_log` (the audit
+    trail) instead of documents/chunks/vectors, survivors append their
+    signatures to `sigs`. Both tables join the wave rollback set, so a
+    mid-wave crash can't double-ingest signatures on resume."""
     def sink(spark: SparkSession, catalog: SnapshotCatalog,
              fetched: DataFrame, wave: int) -> None:
         catalog.create_table("documents", schemas.DOCUMENTS)
         catalog.create_table("chunks", schemas.CHUNKS)
         catalog.create_table("vectors", schemas.VECTORS)
 
-        docs = documents_from_fetched(fetched, cfg).persist()
+        raw_docs = documents_from_fetched(fetched, cfg).persist()
+        docs = raw_docs
+        if cfg.near_dup_ingest:
+            from axora_spark.operators.incremental import dedup_ingest
+            catalog.create_table("sigs", schemas.SIGS)
+            catalog.create_table("dup_log", schemas.DUP_LOG)
+            assigns = dedup_ingest(
+                spark, catalog,
+                docs.select("doc_id", F.col("_text").alias("text")),
+                table="sigs", threshold=cfg.near_dup_threshold)
+            catalog.append(
+                spark, "dup_log",
+                assigns.select(F.lit(wave).alias("wave"), "doc_id",
+                               "dup_of", "est_jaccard"))
+            docs = docs.join(assigns.select("doc_id"),
+                             "doc_id", "left_anti")
         catalog.merge_insert_if_absent(
             spark, "documents",
             docs.select("doc_id", "url", "spans", "metadata"),
@@ -126,5 +149,5 @@ def make_content_sink(cfg: CrawlConfig):
         vectors = vectors_from_chunks(chunks, cfg)
         catalog.merge_insert_if_absent(spark, "vectors", vectors,
                                        key="content_hash")
-        docs.unpersist()
+        raw_docs.unpersist()
     return sink

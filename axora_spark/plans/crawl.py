@@ -156,7 +156,8 @@ def expire_history(spark: SparkSession, catalog: SnapshotCatalog,
 
 # every table a wave mutates — the rollback set for mid-wave crash recovery
 _MANAGED_TABLES = ("frontier", "seen", "admitted", "metrics", "links",
-                   "ranks", "documents", "chunks", "vectors")
+                   "ranks", "documents", "chunks", "vectors",
+                   "sigs", "dup_log")
 
 
 def _rollback_incomplete_wave(spark: SparkSession, catalog: SnapshotCatalog,
@@ -441,7 +442,7 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
             lineage_entries.append(("ranks", sid_ranks, 0, 0))
         # content tables (written by the sink) join the rollback set so a
         # mid-wave crash can't duplicate documents/chunks/vectors on resume
-        for t in ("documents", "chunks", "vectors"):
+        for t in ("documents", "chunks", "vectors", "sigs", "dup_log"):
             if catalog.table_exists(t):
                 cur = catalog.current_snapshot(t)
                 if cur is not None:

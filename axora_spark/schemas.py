@@ -121,6 +121,20 @@ VECTORS = T.StructType([
     T.StructField("embedding", T.ArrayType(T.FloatType()), False),
 ])
 
+# Incremental near-dup ingest (cfg.near_dup_ingest): the append-only
+# minhash-signature store and the per-wave dup audit log
+SIGS = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("sig", T.ArrayType(T.StringType()), False),
+])
+
+DUP_LOG = T.StructType([
+    T.StructField("wave", T.IntegerType(), False),
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("dup_of", T.StringType(), False),
+    T.StructField("est_jaccard", T.DoubleType(), False),
+])
+
 # Lineage (north_rule: per-partition lineage + metrics, resumable)
 LINEAGE = T.StructType([
     T.StructField("wave", T.IntegerType(), False),

@@ -31,8 +31,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--content", action="store_true",
                    help="run the content pipeline branch")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--priority", choices=["none", "url_score"],
-                   default="none", help="frontier priority scoring mode")
+    p.add_argument("--priority", choices=["none", "url_score", "pagerank"],
+                   default="none", help="frontier priority scoring mode "
+                   "(pagerank ranks the crawl's own link graph)")
+    p.add_argument("--rank-every", type=int, default=1,
+                   help="pagerank mode: recompute ranks every N waves")
+    p.add_argument("--near-dup", action="store_true",
+                   help="content mode: per-wave incremental near-dup "
+                        "against the sigs store; dups go to dup_log")
     p.add_argument("--input", choices=["html", "parsed"], default="html",
                    help="corpus shape: raw HTML (engine parses X3/X4/X5 "
                         "itself; default) or pre-parsed link-graph rows")
@@ -55,7 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     cfg = datagen.fixture_config(pages, robots_mode=args.robots,
                                  wave_seconds=args.wave_seconds,
                                  max_waves=args.waves,
-                                 priority_mode=args.priority)
+                                 priority_mode=args.priority,
+                                 rank_every=args.rank_every,
+                                 near_dup_ingest=args.near_dup)
     catalog = SnapshotCatalog(args.warehouse)
     if args.input == "html":
         corpus = spark.createDataFrame(
