@@ -99,8 +99,14 @@ def incremental_near_dup(new_sigs: DataFrame, store_sigs: DataFrame,
         .join(allsig.select("doc_id", "is_store"), "doc_id")
     nb = _bands(new_sigs.select("doc_id", "sig"), rows_per_band, n_perm)
     a, b = nb.alias("a"), ob.alias("b")
+    # b.doc_id != a.doc_id: a doc is never a near-dup of ITSELF — when
+    # a batch is REPLAYED after a partial commit (streaming at-least-
+    # once, crash-resume), its survivors' sigs are already in the store
+    # under the same doc_id and must not self-match (streaming/dedup.py
+    # builds its exactly-once argument on this)
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("b.doc_id") != F.col("a.doc_id"))
                    & (F.col("b.is_store")
                       | (F.col("b.doc_id") < F.col("a.doc_id"))))
             .select(F.col("a.doc_id").alias("doc_id"),

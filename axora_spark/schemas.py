@@ -135,6 +135,14 @@ DUP_LOG = T.StructType([
     T.StructField("est_jaccard", T.DoubleType(), False),
 ])
 
+# streaming/dedup.py — no wave column (micro-batch ids are not stable
+# across checkpoint replays, so they must not be part of the contents)
+STREAM_DUP_LOG = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("dup_of", T.StringType(), False),
+    T.StructField("est_jaccard", T.DoubleType(), False),
+])
+
 # Lineage (north_rule: per-partition lineage + metrics, resumable)
 LINEAGE = T.StructType([
     T.StructField("wave", T.IntegerType(), False),

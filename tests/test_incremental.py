@@ -125,3 +125,13 @@ def test_ingest_releases_checkpoint_storage(spark, catalog):
     assert a.count() == 1                  # 2 dups 1 in-batch
     assert len(persisted_ids() - before) <= 1  # assigns only; sig
     # frame released via checkpoints.release (unpersist is a no-op)
+
+
+def test_reoffered_stored_doc_never_self_matches(spark):
+    # replay safety (streaming/dedup.py): a doc whose signature is
+    # ALREADY in the store under the same doc_id must not come back as
+    # a dup of itself — and with no other store partner it survives the
+    # assignment (the keyed sink merge then drops its re-offered sig)
+    texts = {1: BOILER}
+    sigs = minhash_sig_array(_df(spark, texts))
+    assert incremental_near_dup(sigs, sigs).count() == 0
