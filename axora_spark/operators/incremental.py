@@ -86,11 +86,19 @@ def incremental_near_dup(new_sigs: DataFrame, store_sigs: DataFrame,
                          threshold: float = 0.5,
                          rows_per_band: int = 2,
                          n_perm: int = N_PERM_DEFAULT,
-                         round_to: int = 6) -> DataFrame:
+                         round_to: int = 6,
+                         max_bucket: int | None = None) -> DataFrame:
     """(doc_id, dup_of, est_jaccard) for NEW docs only. A new doc is a
     dup if it shares ≥1 LSH band with a store doc or a SMALLER-id doc
     of the same batch AND the signature-agreement estimate of Jaccard
-    ≥ threshold; dup_of is the smallest qualifying partner."""
+    ≥ threshold; dup_of is the smallest qualifying partner.
+
+    max_bucket caps degenerate (band, band_key) buckets exactly like
+    lsh_candidate_pairs: on a template-heavy corpus one boilerplate
+    band key can hold thousands of docs and the candidate join goes
+    batch×bucket — capped buckets are DROPPED (their members still
+    pair through their other, more selective bands). Measured on the
+    e2e bench's homogeneous synthetic corpus (BENCH/BASELINE.md)."""
     allsig = (store_sigs.select("doc_id", "sig",
                                 F.lit(True).alias("is_store"))
               .unionByName(new_sigs.select(
@@ -98,6 +106,14 @@ def incremental_near_dup(new_sigs: DataFrame, store_sigs: DataFrame,
     ob = _bands(allsig.select("doc_id", "sig"), rows_per_band, n_perm) \
         .join(allsig.select("doc_id", "is_store"), "doc_id")
     nb = _bands(new_sigs.select("doc_id", "sig"), rows_per_band, n_perm)
+    if max_bucket is not None:
+        sizes = (ob.groupBy("band", "band_key")
+                 .agg(F.count("*").alias("_bsz")))
+        ob = (ob.join(sizes, ["band", "band_key"])
+              .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+        nb = (nb.join(sizes, ["band", "band_key"], "left")
+              .filter(F.coalesce(F.col("_bsz"), F.lit(0)) <= max_bucket)
+              .drop("_bsz"))
     a, b = nb.alias("a"), ob.alias("b")
     # b.doc_id != a.doc_id: a doc is never a near-dup of ITSELF — when
     # a batch is REPLAYED after a partial commit (streaming at-least-
@@ -130,7 +146,8 @@ def incremental_near_dup(new_sigs: DataFrame, store_sigs: DataFrame,
 def dedup_ingest(spark: SparkSession, catalog: SnapshotCatalog,
                  new_docs: DataFrame, table: str = "sigs",
                  threshold: float = 0.5, rows_per_band: int = 2,
-                 n_perm: int = N_PERM_DEFAULT) -> DataFrame:
+                 n_perm: int = N_PERM_DEFAULT,
+                 max_bucket: int | None = None) -> DataFrame:
     """Ingest a (doc_id, text) batch against the catalog's signature
     store: returns the dup assignments for the batch and appends the
     SURVIVORS' signatures to `table` (append-only — the store never
@@ -151,7 +168,8 @@ def dedup_ingest(spark: SparkSession, catalog: SnapshotCatalog,
         # localCheckpoint storage, only checkpoints.release frees it
         assigns = incremental_near_dup(
             new_sigs, store, threshold=threshold,
-            rows_per_band=rows_per_band, n_perm=n_perm) \
+            rows_per_band=rows_per_band, n_perm=n_perm,
+            max_bucket=max_bucket) \
             .localCheckpoint(eager=True)
         survivors = new_sigs.join(assigns.select("doc_id"),
                                   "doc_id", "left_anti")

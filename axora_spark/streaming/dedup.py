@@ -38,12 +38,19 @@ def stream_dedup_ingest(stream: DataFrame, catalog: SnapshotCatalog,
                         checkpoint_dir: str, threshold: float = 0.5,
                         sigs_table: str = "sigs",
                         dup_table: str = "dup_log_stream",
-                        query_name: str = "dedup_ingest"):
+                        query_name: str = "dedup_ingest",
+                        compact_every: int | None = 64):
     """Start a streaming query deduping (doc_id, text) micro-batches
     against `sigs_table`; returns the StreamingQuery (caller stops it).
-    Assignments land in `dup_table` as (doc_id, dup_of, est_jaccard)."""
+    Assignments land in `dup_table` as (doc_id, dup_of, est_jaccard).
+    Every `compact_every` sig-committing batches the sigs table is
+    compacted and its history expired (the stream_to_catalog
+    maintenance story: an unbounded stream otherwise accretes one data
+    dir per batch and the per-batch store read degrades to manifest
+    listing)."""
     catalog.create_table(sigs_table, schemas.SIGS)
     catalog.create_table(dup_table, schemas.STREAM_DUP_LOG)
+    state = {"commits": 0}
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -60,8 +67,16 @@ def stream_dedup_ingest(stream: DataFrame, catalog: SnapshotCatalog,
                                                key="doc_id")
                 survivors = new_sigs.join(assigns.select("doc_id"),
                                           "doc_id", "left_anti")
+                before = catalog.current_snapshot(sigs_table)
                 catalog.merge_insert_if_absent(spark, sigs_table,
                                                survivors, key="doc_id")
+                if catalog.current_snapshot(sigs_table) == before:
+                    return  # full replay — no snapshot, no maintenance
+                state["commits"] += 1
+                if compact_every and \
+                        state["commits"] % compact_every == 0:
+                    catalog.compact(spark, sigs_table)
+                    catalog.expire_snapshots(sigs_table, keep_last=1)
             finally:
                 release_checkpoint(assigns)
         finally:

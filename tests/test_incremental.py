@@ -135,3 +135,18 @@ def test_reoffered_stored_doc_never_self_matches(spark):
     texts = {1: BOILER}
     sigs = minhash_sig_array(_df(spark, texts))
     assert incremental_near_dup(sigs, sigs).count() == 0
+
+
+def test_max_bucket_caps_degenerate_buckets(spark):
+    # 4 identical docs: every band bucket has size 4. max_bucket=3
+    # drops them ALL (identical docs share every band, so no other
+    # band rescues the pair — the documented lsh_candidate_pairs
+    # trade); an adequate cap finds the dups
+    texts = {i: BOILER for i in range(1, 5)}
+    sigs = minhash_sig_array(_df(spark, texts))
+    empty = spark.createDataFrame([], sigs.schema)
+    assert incremental_near_dup(sigs, empty, max_bucket=3).count() == 0
+    capped = {r.doc_id: r.dup_of
+              for r in incremental_near_dup(sigs, empty,
+                                            max_bucket=10).collect()}
+    assert capped == {2: 1, 3: 1, 4: 1}

@@ -95,3 +95,27 @@ def test_stream_dedup_exactly_once(spark, catalog):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_dedup_compaction(spark, catalog):
+    # compact_every=2: after the 2nd sig-committing batch the sigs
+    # table collapses to one data dir with identical contents
+    src = tempfile.mkdtemp(prefix="sdc_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdc_ckpt_")
+    try:
+        _write_chunk(spark, src, "f0", {"a1": A})
+        stream = (spark.readStream.format("parquet").schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).load(src + "/*"))
+        q = stream_dedup_ingest(stream, catalog, ckpt,
+                                query_name="sdc", compact_every=2)
+        q.processAllAvailable()
+        _write_chunk(spark, src, "f1", {"b1": B})
+        q.processAllAvailable()
+        q.stop()
+        assert {r.doc_id for r in catalog.read(spark, "sigs").collect()} \
+            == {"a1", "b1"}
+        assert len(catalog._dirs_for(catalog._load_meta("sigs"),
+                                     None)) == 1
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -92,9 +92,17 @@ def _page(uid, anchors) -> F.Column:
         F.lit("</p>"), anchors, F.lit("</body></html>"))
 
 
-def build_corpus(spark, n_hosts: int, fanout: int) -> DataFrame:
+def build_corpus(spark, n_hosts: int, fanout: int,
+                 dup_frac: float = 0.0) -> DataFrame:
     """roots (link to K children) ∪ children (link to K grandchildren)
-    ∪ leaf grandchildren — all Spark-native from spark.range."""
+    ∪ leaf grandchildren — all Spark-native from spark.range.
+
+    dup_frac > 0 makes the first dup_frac·K children of EVERY host carry
+    a host-independent content uid — byte-identical bodies replicated
+    across all n_hosts hosts (distinct URLs, so distinct doc_ids): the
+    cross-host boilerplate that the near-dup ingest gate exists to
+    drop. Whether a duplicated page becomes a document still follows
+    the uid%10 relevance rule, exactly like unique pages."""
     K = fanout
 
     def host_of(hid):
@@ -119,11 +127,15 @@ def build_corpus(spark, n_hosts: int, fanout: int) -> DataFrame:
     c = spark.range(n_hosts * K)
     chid, cj = F.col("id") / K, F.col("id") % K
     chid = chid.cast("long")
+    child_uid = F.col("id") * 31 + 1
+    if dup_frac > 0:
+        child_uid = F.when(cj < int(K * dup_frac), cj * 31 + 1) \
+            .otherwise(child_uid)
     children = c.select(
         F.format_string("https://h%d.bench.example/c%d", chid.cast("int"),
                         cj.cast("int")).alias("url"),
         host_of(chid).alias("host"),
-        _page(F.col("id") * 31 + 1,
+        _page(child_uid,
               anchor_list(lambda j, _cj=cj: F.concat(
                   F.format_string("/c%d/g", _cj.cast("int")),
                   j.cast("string")))).alias("body_html"))
@@ -152,6 +164,12 @@ def main() -> None:
     ap.add_argument("--priority", default="none",
                     help="none | url_score | pagerank (per-wave "
                          "link-authority ranking, VERDICT r4 #5)")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="cfg.near_dup_ingest: per-wave incremental "
+                         "near-dup gate in the content sink")
+    ap.add_argument("--dup-frac", type=float, default=0.0,
+                    help="fraction of each host's children replicated "
+                         "byte-identically across ALL hosts")
     args = ap.parse_args()
     H, K = args.hosts, args.fanout
     n_pages = H * (1 + K + K * K)
@@ -161,7 +179,7 @@ def main() -> None:
     wh = tempfile.mkdtemp(prefix="e2e_wh_")
     try:
         t0 = time.time()
-        build_corpus(spark, H, K).write.mode("overwrite") \
+        build_corpus(spark, H, K, args.dup_frac).write.mode("overwrite") \
             .parquet(os.path.join(store, "corpus"))
         corpus = spark.read.parquet(os.path.join(store, "corpus"))
         gen_sec = time.time() - t0
@@ -177,6 +195,7 @@ def main() -> None:
             url_filters=(r"^https://h\d+\.bench\.example/.*$",),
             tokenizer=args.tokenizer,
             priority_mode=args.priority,
+            near_dup_ingest=args.near_dup,
         )
         catalog = SnapshotCatalog(wh)
 
@@ -207,6 +226,12 @@ def main() -> None:
             "vectors": catalog.read(spark, "vectors").count(),
             "cores": args.cores,
         }
+        if args.near_dup:
+            out["near_dup"] = {
+                "dup_frac": args.dup_frac,
+                "dups_logged": catalog.read(spark, "dup_log").count(),
+                "sigs_stored": catalog.read(spark, "sigs").count(),
+            }
         print(json.dumps(out))
     finally:
         shutil.rmtree(store, ignore_errors=True)
