@@ -87,6 +87,13 @@ class CrawlConfig:
                                     # documents/chunks/vectors
     near_dup_threshold: float = 0.5  # signature-agreement Jaccard
                                     # estimate required to drop a doc
+    near_dup_max_bucket: int | None = None  # cap per (band, band_key)
+                                    # bucket in the candidate join;
+                                    # capped buckets are dropped (the
+                                    # lsh_candidate_pairs trade) — set
+                                    # on boilerplate-heavy corpora
+                                    # where one band key holds
+                                    # hundreds of docs
     seen_bloom_fpp: float = 0.01
     hot_host_salt: int = 8          # salt shards for skewed hosts (W1)
 

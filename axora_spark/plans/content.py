@@ -131,7 +131,8 @@ def make_content_sink(cfg: CrawlConfig):
             assigns = dedup_ingest(
                 spark, catalog,
                 docs.select("doc_id", F.col("_text").alias("text")),
-                table="sigs", threshold=cfg.near_dup_threshold)
+                table="sigs", threshold=cfg.near_dup_threshold,
+                max_bucket=cfg.near_dup_max_bucket)
             catalog.append(
                 spark, "dup_log",
                 assigns.select(F.lit(wave).alias("wave"), "doc_id",

@@ -170,6 +170,9 @@ def main() -> None:
     ap.add_argument("--dup-frac", type=float, default=0.0,
                     help="fraction of each host's children replicated "
                          "byte-identically across ALL hosts")
+    ap.add_argument("--max-bucket", type=int, default=None,
+                    help="near-dup candidate bucket cap "
+                         "(cfg.near_dup_max_bucket)")
     args = ap.parse_args()
     H, K = args.hosts, args.fanout
     n_pages = H * (1 + K + K * K)
@@ -196,6 +199,7 @@ def main() -> None:
             tokenizer=args.tokenizer,
             priority_mode=args.priority,
             near_dup_ingest=args.near_dup,
+            near_dup_max_bucket=args.max_bucket,
         )
         catalog = SnapshotCatalog(wh)
 
@@ -229,6 +233,7 @@ def main() -> None:
         if args.near_dup:
             out["near_dup"] = {
                 "dup_frac": args.dup_frac,
+                "max_bucket": args.max_bucket,
                 "dups_logged": catalog.read(spark, "dup_log").count(),
                 "sigs_stored": catalog.read(spark, "sigs").count(),
             }
