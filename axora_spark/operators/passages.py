@@ -87,3 +87,43 @@ def duplicate_passages(docs: DataFrame, n: int = 8,
                  (F.max("pos") + (n - 1)).alias("span_end"),
                  F.count("*").cast("int").alias("span_grams"))
             .drop("_island"))
+
+
+def excise_passages(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """The ACT half of exact-substring dedup (Lee et al. excise the
+    duplicated substring, not the document): drop every word position
+    covered by a span. docs(doc_id, text); spans(doc_id, span_start,
+    span_end) — typically duplicate_passages output, but any span
+    table with the same contract works (so policy — keep first
+    occurrence corpus-wide, length floors, … — stays a span-table
+    transformation, not an operator variant).
+
+    Output: (doc_id, kept_words, dropped_words, clean_sha) — the sha256
+    of the space-rejoined surviving words, which both keeps the driver
+    comparison value-exact and avoids shipping full cleaned text
+    through the result (callers wanting the text use `clean_text_col`
+    on the same join).
+
+    Shape: spans aggregate to one array per doc (output-of-detection
+    sized), ONE keyed left join onto docs, then a map-only positional
+    filter (2-arg HOF lambda = (element, index)) — O(words × doc_spans)
+    per row, no explode, no second shuffle. Docs without spans pass
+    through with dropped_words = 0."""
+    sp = (spans.groupBy("doc_id")
+          .agg(F.collect_list(F.struct("span_start", "span_end"))
+               .alias("_spans")))
+    joined = (docs.join(sp, "doc_id", "left")
+              .select("doc_id", words_col(F.col("text")).alias("w"),
+                      F.coalesce("_spans", F.array()).alias("sp")))
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: ~F.exists(
+            F.col("sp"), lambda s: (i >= s["span_start"])
+            & (i <= s["span_end"])))
+    return (joined
+            .select("doc_id", F.col("w").alias("_w"), kept.alias("_k"))
+            .select("doc_id",
+                    F.size("_k").alias("kept_words"),
+                    (F.size("_w") - F.size("_k")).alias("dropped_words"),
+                    F.sha2(F.array_join("_k", " "), 256)
+                    .alias("clean_sha")))

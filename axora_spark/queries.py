@@ -31,7 +31,8 @@ from axora_spark.operators.pagerank import pagerank as pagerank_op
 from axora_spark.functions.sketch import hll_alpha, hll_estimate
 from axora_spark.functions.words import (WORDS_SQL, shingles_of_words,
                                          words_col)
-from axora_spark.operators.passages import duplicate_passages
+from axora_spark.operators.passages import (duplicate_passages,
+                                            excise_passages)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str,
@@ -1937,6 +1938,44 @@ SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
 FROM i GROUP BY doc_id, island
 """
 
+# the detect CTEs above, reused verbatim by the excision oracle
+_PASSAGE_CTES = SQL_DUPLICATE_PASSAGES.split("SELECT doc_id, CAST")[0]
+
+
+def q_passage_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect → ACT: excise every duplicated-passage word span found by
+    duplicate_passages from its document (operators/passages.py
+    `excise_passages` — the Lee et al. remove-the-substring step).
+    Output: (doc_id, kept_words, dropped_words, clean_sha) for EVERY
+    document (untouched docs pass through with dropped_words = 0);
+    clean_sha = sha256 of the space-rejoined surviving words keeps the
+    oracle comparison value-exact without shipping cleaned text."""
+    docs = _t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text")
+    spans = duplicate_passages(docs, n=_PASSAGE_N, min_docs=2)
+    return excise_passages(docs, spans)
+
+
+SQL_PASSAGE_EXCISE = f"""{_PASSAGE_CTES.rstrip()},
+sp AS (
+  SELECT doc_id, min(pos) AS ss, max(pos) + {_PASSAGE_N - 1} AS se
+  FROM i GROUP BY doc_id, island),
+spl AS (
+  SELECT doc_id, list(struct_pack(ss := ss, se := se)) AS sps
+  FROM sp GROUP BY doc_id),
+base AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+kept AS (
+  SELECT b.doc_id, b.w,
+         list_filter(b.w, (x, i) ->
+           len(list_filter(coalesce(spl.sps, []),
+                           s -> i - 1 BETWEEN s.ss AND s.se)) = 0) AS k
+  FROM base b LEFT JOIN spl USING (doc_id))
+SELECT doc_id, CAST(len(k) AS INT) AS kept_words,
+       CAST(len(w) - len(k) AS INT) AS dropped_words,
+       sha256(coalesce(array_to_string(k, ' '), '')) AS clean_sha
+FROM kept
+"""
+
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min sha256 over word-3-gram shingles (a
@@ -3114,6 +3153,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "contamination": q_contamination,
     "duplicate_passages": q_duplicate_passages,
+    "passage_excise": q_passage_excise,
     "mix_sample": q_mix_sample,
     "pagerank": q_pagerank,
     "hll_distinct": q_hll_distinct,
@@ -3177,6 +3217,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "contamination": SQL_CONTAMINATION,
     "duplicate_passages": SQL_DUPLICATE_PASSAGES,
+    "passage_excise": SQL_PASSAGE_EXCISE,
     "mix_sample": SQL_MIX_SAMPLE,
     "pagerank": SQL_PAGERANK,
     "hll_distinct": SQL_HLL_DISTINCT,

@@ -41,7 +41,7 @@ HEADLINE = [
     "media_pipeline", "robots_gate", "serp_collect",
     "text_clean", "wave_dedup", "sha256_hash",
     "pii_mask", "doc_fingerprint", "contamination", "mix_sample",
-    "duplicate_passages", "neardup_incremental",
+    "duplicate_passages", "passage_excise", "neardup_incremental",
     "repetition_filters",
     "gopher_quality", "c4_line_filters", "tfidf_top_terms",
     "dedup_clusters", "lang_id", "pagerank", "hll_distinct",

@@ -104,3 +104,46 @@ def test_matches_python_twin_on_mixed_corpus(spark):
     for n in (3, 8):
         assert _spans(duplicate_passages(docs, n=n)) == \
             _py_duplicate_passages(texts, n=n)
+
+
+def test_excise_passages_spans_removed_exactly(spark):
+    from axora_spark.operators.passages import excise_passages
+    import hashlib
+    docs = _docs(spark, [
+        (1, "a b c d e f g h"),      # span [2,4] -> keep a b f g h
+        (2, "x y z"),                # no spans -> untouched
+        (3, "p q r"),                # span covers everything -> empty
+    ])
+    spans = spark.createDataFrame(
+        [(1, 2, 4), (3, 0, 2)],
+        "doc_id long, span_start int, span_end int")
+    got = {r.doc_id: (r.kept_words, r.dropped_words, r.clean_sha)
+           for r in excise_passages(docs, spans).collect()}
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    assert got == {1: (5, 3, sha("a b f g h")),
+                   2: (3, 0, sha("x y z")),
+                   3: (0, 3, sha(""))}
+
+
+def test_detect_then_excise_leaves_no_cross_doc_ngrams(spark):
+    # closure property: after excising ALL duplicated-passage spans,
+    # re-detecting on the surviving words finds nothing (n-grams that
+    # straddle an excision seam are new strings, not corpus dups)
+    from axora_spark.operators.passages import excise_passages
+    from pyspark.sql import functions as F
+    boiler = "one two three four five six seven eight nine ten"
+    texts = {i: f"u{i}x u{i}y {boiler} u{i}z" for i in range(4)}
+    docs = _docs(spark, sorted(texts.items()))
+    spans = duplicate_passages(docs, n=8)
+    assert spans.count() == 4
+    joined = (docs.join(
+        spans.groupBy("doc_id").agg(
+            F.collect_list(F.struct("span_start", "span_end"))
+            .alias("sp")), "doc_id", "left")
+        .select("doc_id", F.array_join(F.filter(
+            F.split(F.trim("text"), r"\s+"),
+            lambda x, i: ~F.exists(
+                F.coalesce("sp", F.array()),
+                lambda s: (i >= s["span_start"])
+                & (i <= s["span_end"]))), " ").alias("text")))
+    assert duplicate_passages(joined, n=8).count() == 0
