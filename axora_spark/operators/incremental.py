@@ -99,21 +99,35 @@ def incremental_near_dup(new_sigs: DataFrame, store_sigs: DataFrame,
     batch×bucket — capped buckets are DROPPED (their members still
     pair through their other, more selective bands). Measured on the
     e2e bench's homogeneous synthetic corpus (BENCH/BASELINE.md)."""
+    # doc_ids present in BOTH inputs (a replayed batch whose survivors
+    # already landed in the store) keep only their STORE copy —
+    # first-ingested-wins, the merge_insert_if_absent convention.
+    # Without this dedupe a replayed doc's band rows appear twice and
+    # the is_store join fans them ×2, inflating max_bucket's _bsz so a
+    # replay could re-derive DIFFERENT assignments (code-review r5,
+    # demonstrated: cap 4, first run {2→1}, replay []) — the
+    # exactly-once argument of streaming/dedup.py needs replays to be
+    # bit-identical, capped or not.
     allsig = (store_sigs.select("doc_id", "sig",
                                 F.lit(True).alias("is_store"))
-              .unionByName(new_sigs.select(
-                  "doc_id", "sig", F.lit(False).alias("is_store"))))
+              .unionByName(
+                  new_sigs.join(store_sigs.select("doc_id"),
+                                "doc_id", "left_anti")
+                  .select("doc_id", "sig",
+                          F.lit(False).alias("is_store"))))
     ob = _bands(allsig.select("doc_id", "sig"), rows_per_band, n_perm) \
         .join(allsig.select("doc_id", "is_store"), "doc_id")
-    nb = _bands(new_sigs.select("doc_id", "sig"), rows_per_band, n_perm)
     if max_bucket is not None:
         sizes = (ob.groupBy("band", "band_key")
                  .agg(F.count("*").alias("_bsz")))
         ob = (ob.join(sizes, ["band", "band_key"])
               .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
-        nb = (nb.join(sizes, ["band", "band_key"], "left")
-              .filter(F.coalesce(F.col("_bsz"), F.lit(0)) <= max_bucket)
-              .drop("_bsz"))
+    # the new side IS ob minus store rows (the SQL oracle's own
+    # derivation) — one band computation, and the cap filter above
+    # applies to both sides at once. Replayed already-stored docs are
+    # absent here, so they produce no (re-)assignments — their sigs
+    # re-offer and the caller's keyed sink drops them.
+    nb = ob.filter(~F.col("is_store")).drop("is_store")
     a, b = nb.alias("a"), ob.alias("b")
     # b.doc_id != a.doc_id: a doc is never a near-dup of ITSELF — when
     # a batch is REPLAYED after a partial commit (streaming at-least-
@@ -152,7 +166,14 @@ def dedup_ingest(spark: SparkSession, catalog: SnapshotCatalog,
     store: returns the dup assignments for the batch and appends the
     SURVIVORS' signatures to `table` (append-only — the store never
     holds text). Returns (doc_id, dup_of, est_jaccard); callers drop
-    those doc_ids from the batch before admitting it."""
+    those doc_ids from the batch before admitting it.
+
+    The returned frame is an EAGER localCheckpoint (it must survive
+    the release of the signature frame it derives from) — the CALLER
+    owns its storage: checkpoints.release it once fully consumed, or
+    it pins one RDD per call for the session (the r5 no-op-unpersist
+    lesson; plans/content.py's sink and streaming/dedup.py both
+    release theirs)."""
     from axora_spark.checkpoints import release as release_checkpoint
     new_sigs = minhash_sig_array(new_docs, n_perm) \
         .localCheckpoint(eager=True)  # used thrice: assign ×2 + append
@@ -173,7 +194,10 @@ def dedup_ingest(spark: SparkSession, catalog: SnapshotCatalog,
             .localCheckpoint(eager=True)
         survivors = new_sigs.join(assigns.select("doc_id"),
                                   "doc_id", "left_anti")
-        catalog.append(spark, table, survivors)
+        # skip_empty: an all-dup batch must not commit an empty data
+        # dir + snapshot (the long-session dir-per-wave accretion the
+        # append docstring warns about)
+        catalog.append(spark, table, survivors, skip_empty=True)
         return assigns
     finally:
         release_checkpoint(new_sigs)

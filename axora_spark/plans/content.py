@@ -124,6 +124,7 @@ def make_content_sink(cfg: CrawlConfig):
 
         raw_docs = documents_from_fetched(fetched, cfg).persist()
         docs = raw_docs
+        assigns = None
         if cfg.near_dup_ingest:
             from axora_spark.operators.incremental import dedup_ingest
             catalog.create_table("sigs", schemas.SIGS)
@@ -133,22 +134,34 @@ def make_content_sink(cfg: CrawlConfig):
                 docs.select("doc_id", F.col("_text").alias("text")),
                 table="sigs", threshold=cfg.near_dup_threshold,
                 max_bucket=cfg.near_dup_max_bucket)
+            # skip_empty: a dup-free wave must not commit an empty
+            # dup_log dir + snapshot (dir-per-wave accretion)
             catalog.append(
                 spark, "dup_log",
                 assigns.select(F.lit(wave).alias("wave"), "doc_id",
-                               "dup_of", "est_jaccard"))
+                               "dup_of", "est_jaccard"),
+                skip_empty=True)
             docs = docs.join(assigns.select("doc_id"),
                              "doc_id", "left_anti")
-        catalog.merge_insert_if_absent(
-            spark, "documents",
-            docs.select("doc_id", "url", "spans", "metadata"),
-            key="doc_id")
-        chunks = chunks_from_documents(docs, cfg)
-        catalog.append(spark, "chunks",
-                       chunks.select("doc_id", "chunk_index", "text",
-                                     "token_count"))
-        vectors = vectors_from_chunks(chunks, cfg)
-        catalog.merge_insert_if_absent(spark, "vectors", vectors,
-                                       key="content_hash")
-        raw_docs.unpersist()
+        try:
+            catalog.merge_insert_if_absent(
+                spark, "documents",
+                docs.select("doc_id", "url", "spans", "metadata"),
+                key="doc_id")
+            chunks = chunks_from_documents(docs, cfg)
+            catalog.append(spark, "chunks",
+                           chunks.select("doc_id", "chunk_index", "text",
+                                         "token_count"))
+            vectors = vectors_from_chunks(chunks, cfg)
+            catalog.merge_insert_if_absent(spark, "vectors", vectors,
+                                           key="content_hash")
+        finally:
+            raw_docs.unpersist()
+            if assigns is not None:
+                # the dedup_ingest contract: the caller releases the
+                # eager assigns checkpoint once the sinks consumed it —
+                # else one RDD pins per wave for the session (r5
+                # no-op-unpersist lesson, code-review r5)
+                from axora_spark.checkpoints import release
+                release(assigns)
     return sink

@@ -150,3 +150,30 @@ def test_max_bucket_caps_degenerate_buckets(spark):
               for r in incremental_near_dup(sigs, empty,
                                             max_bucket=10).collect()}
     assert capped == {2: 1, 3: 1, 4: 1}
+
+
+def test_capped_replay_is_deterministic(spark):
+    # code-review r5 (demonstrated bug): a replayed batch whose
+    # survivor sigs are already stored must re-derive IDENTICAL
+    # assignments even with max_bucket — duplicated doc_ids used to
+    # inflate _bsz and flip capped buckets between runs
+    new = _df(spark, {1: BOILER, 2: BOILER})
+    sigs = minhash_sig_array(new)
+    empty = spark.createDataFrame([], sigs.schema)
+    first = {(r.doc_id, r.dup_of) for r in incremental_near_dup(
+        sigs, empty, max_bucket=4).collect()}
+    assert first == {(2, 1)}
+    # replay: survivor 1's sig is now in the store under the SAME id
+    store = sigs.filter("doc_id = 1")
+    replay = {(r.doc_id, r.dup_of) for r in incremental_near_dup(
+        sigs, store, max_bucket=4).collect()}
+    assert replay == first
+
+
+def test_skip_empty_commits(spark, catalog):
+    # dup-free batches must not commit dup_log dirs; all-dup batches
+    # must not commit sigs dirs (code-review r5: dir-per-wave accretion)
+    dedup_ingest(spark, catalog, _df(spark, {1: BOILER}))
+    before = catalog.current_snapshot("sigs")
+    dedup_ingest(spark, catalog, _df(spark, {2: BOILER}))  # all dup
+    assert catalog.current_snapshot("sigs") == before
