@@ -26,14 +26,23 @@ def get_spark(
     cluster it should be ~2-3× total cores and is overridable via
     ``extra_conf``.
     """
-    if cores is None:
+    # Under spark-submit the python driver is launched by an already-running
+    # JVM gateway (PYSPARK_GATEWAY_PORT) whose conf carries --master; calling
+    # .master() here would silently override e.g. `--master local-cluster[...]`
+    # or `--master yarn` with local[*]. Honor the submitted master unless the
+    # caller explicitly asked for a core count.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if cores is None and submitted:
+        master = None
+        n_cores = None
+    elif cores is None:
         cores_env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cores_env}]" if cores_env else "local[*]"
         n_cores = int(cores_env) if cores_env else (os.cpu_count() or 8)
     else:
         master = f"local[{cores}]"
         n_cores = cores
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and n_cores is not None:
         shuffle_partitions = max(8, n_cores)
 
     # Make the package importable inside executor Python workers no matter
@@ -48,10 +57,8 @@ def get_spark(
         os.environ["PYTHONPATH"] = (repo_root + (os.pathsep + pp if pp else ""))
 
     builder = (
-        SparkSession.builder.master(master)
+        SparkSession.builder
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(n_cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -70,8 +77,21 @@ def get_spark(
         # frontier anti-joins on top of our app-level bloom pre-filter)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
+    if master is not None:
+        builder = builder.master(master)
+    if n_cores is not None:
+        builder = builder.config("spark.default.parallelism", str(n_cores))
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions",
+                                 str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if shuffle_partitions is None:
+        # submitted master, no explicit sizing: SQL shuffle width follows
+        # the cluster's total cores (runtime-settable, unlike the two above)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, spark.sparkContext.defaultParallelism)))
     spark.sparkContext.setLogLevel("WARN")
     return spark

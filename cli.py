@@ -7,7 +7,12 @@ Package + launch:
         --warehouse /tmp/axora_wh --pages 240 --waves 8 [--robots] [--content]
 
 On a real cluster, add `--master yarn|k8s://...` and executor sizing; the
-job code is identical (no local-mode assumptions outside session.py).
+job code is identical (no local-mode assumptions outside session.py, and
+session.py honors a spark-submit-provided master). The sandbox's closest
+cluster analog is `--master "local-cluster[n,c,m]"` — n separate executor
+JVMs; tests/test_submit_launch.py pins that launch path and its
+crawl-order equality with local mode, tools/bench_executors.py measures
+N->4N executor scaling through it.
 The fixture corpus stands in for live fetch (sandbox is network-free).
 """
 
@@ -81,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         compact_every=args.compact_every)
 
     summary = {
+        "master": spark.sparkContext.master,
         "waves": run.waves_run,
         "admitted": run.admitted_count,
         "wave_metrics": run.wave_metrics,
