@@ -87,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
 
     summary = {
         "master": spark.sparkContext.master,
+        "admitted_table_rows": catalog.read(spark, "admitted").count(),
         "waves": run.waves_run,
         "admitted": run.admitted_count,
         "wave_metrics": run.wave_metrics,

@@ -83,3 +83,32 @@ def test_submit_pyfiles_local_cluster_matches_local(tmp_path):
     assert s_lc["waves"] == s_local["waves"]
     assert s_lc["admitted"] == s_local["admitted"]
     assert s_lc["wave_metrics"] == s_local["wave_metrics"]
+    assert s_lc["admitted_table_rows"] == s_local["admitted_table_rows"]
+
+    # checkpoint state is layout-portable (north rule: "resumable from
+    # checkpoint" under the cluster launch): wave 0 on plain local[4],
+    # then RESUME the same warehouse under spark-submit local-cluster —
+    # the completed session must equal the uninterrupted local run
+    wh_resume = str(tmp_path / "wh_resume")
+    first = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli.py"), "--warehouse",
+         wh_resume, "--pages", "60", "--waves", "1", "--cores", "4"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert first.returncode == 0, first.stderr[-4000:]
+    assert _summary(first.stdout)["waves"] == 1
+
+    resumed = subprocess.run(
+        ["spark-submit", "--master", "local-cluster[2,2,1536]",
+         "--conf", "spark.executor.memory=1g",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "cli.py"), "--warehouse", wh_resume,
+         "--pages", "60", "--waves", "3", "--resume"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert resumed.returncode == 0, resumed.stderr[-4000:]
+    s_res = _summary(resumed.stdout)
+    assert s_res["master"].startswith("local-cluster[2,2"), s_res["master"]
+    # resumed session ran exactly the remaining waves, with the same
+    # per-wave admissions the uninterrupted run recorded for them
+    assert s_res["wave_metrics"] == s_local["wave_metrics"][1:]
+    assert s_res["admitted_table_rows"] == s_local["admitted_table_rows"]
