@@ -3117,6 +3117,86 @@ FROM s GROUP BY user_id
 """
 
 
+# Freshness-driven recrawl scheduling (operators/recrawl.py) — the
+# revisit-policy operator the reference's crawl-once session lacks.
+
+_RC_WAVES = 8          # observation horizon (waves 0..7), "now" = 8
+_RC_NOW = 8
+
+
+def _rc_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic observation log synthesized from the documents
+    table: doc d is fetched at wave w iff w ≡ 0 (mod (d%3)+1) — three
+    interleaved revisit cadences — and its content version advances
+    every (d%5)+2 waves, so change periods 2..6 cross cadences 1..3.
+    Both engines state the identical log (SQL twin in
+    SQL_RECRAWL_SCHEDULE)."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    obs = (docs.select("doc_id",
+                       F.explode(F.sequence(F.lit(0),
+                                            F.lit(_RC_WAVES - 1)))
+                       .alias("wave"))
+           .filter(F.col("wave") % (F.col("doc_id") % 3 + 1) == 0))
+    version = F.expr(f"wave div (doc_id % 5 + 2)")
+    return obs.withColumn("content_hash",
+                          F.concat(F.lit("v"), version.cast("string")))
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate estimation + staleness revisit priority
+    (operators/recrawl.py; Cho & Garcia-Molina, ACM TODS 2003). The
+    reference fetches each URL exactly once per session
+    (crawler/crawler.go:77 visited set); a long-lived engine must decide
+    WHAT to re-fetch — this ranks URLs by expected staleness
+    1 − e^{−λ̂·age} under the bias-corrected Poisson-rate MLE
+    λ̂ = −ln((n−X+0.5)/(n+0.5))/I̅ over the crawl's own observation log.
+
+    Scale shape: the lag-window and the per-URL aggregate both hash by
+    doc_id — ONE Exchange for the whole job (gated,
+    test_plan_shapes.py); output cardinality = |seen|, the table the
+    crawl already maintains. Rounded to 6dp like pagerank — ln/exp
+    differ between engines at ~1e-16."""
+    from axora_spark.operators.recrawl import estimate_change_rate
+    rates = estimate_change_rate(_rc_obs(spark, sf_dir), _RC_NOW,
+                                 url_col="doc_id")
+    return rates.select("doc_id", "n_obs", "n_changes",
+                        F.round("change_rate", 6).alias("change_rate"),
+                        F.round("staleness", 6).alias("staleness"))
+
+
+SQL_RECRAWL_SCHEDULE = f"""
+WITH waves AS (SELECT unnest(range(0, {_RC_WAVES})) AS wave),
+obs AS (
+  SELECT doc_id, wave,
+         'v' || CAST(wave // (doc_id % 5 + 2) AS VARCHAR) AS h
+  FROM documents, waves
+  WHERE wave % (doc_id % 3 + 1) = 0),
+lagged AS (
+  SELECT doc_id, wave, h,
+         lag(h) OVER (PARTITION BY doc_id ORDER BY wave) AS prev
+  FROM obs),
+per AS (
+  SELECT doc_id, count(*) AS n_obs,
+         sum(CASE WHEN prev IS NOT NULL AND prev <> h
+                  THEN 1 ELSE 0 END) AS n_changes,
+         min(wave) AS w0, max(wave) AS w1
+  FROM lagged GROUP BY doc_id),
+est AS (
+  SELECT doc_id, n_obs, n_changes,
+         CASE WHEN n_obs > 1 THEN
+           -ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
+           / ((w1 - w0) * 1e0 / (n_obs - 1))
+         END AS lam,
+         {_RC_NOW} - w1 AS age
+  FROM per)
+SELECT doc_id, n_obs, CAST(n_changes AS BIGINT) AS n_changes,
+       round(lam, 6) AS change_rate,
+       round(CASE WHEN lam IS NULL THEN 1e0
+                  ELSE 1e0 - exp(-lam * age) END, 6) AS staleness
+FROM est
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3183,6 +3263,7 @@ QUERIES = {
     "event_conversion": q_event_conversion,
     "retention_cohorts": q_retention_cohorts,
     "sessionize": q_sessionize,
+    "recrawl_schedule": q_recrawl_schedule,
 }
 
 ORACLES = {
@@ -3247,4 +3328,5 @@ ORACLES = {
     "event_conversion": SQL_EVENT_CONVERSION,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "sessionize": SQL_SESSIONIZE,
+    "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
 }
