@@ -94,6 +94,18 @@ class CrawlConfig:
                                     # on boilerplate-heavy corpora
                                     # where one band key holds
                                     # hundreds of docs
+    trap_detect: bool = False       # statistical crawl-trap pruning
+                                    # (operators/traps.py): profile
+                                    # (host, path-template) families
+                                    # over seen∪frontier each wave and
+                                    # drop frontier URLs in families
+                                    # that are high-volume AND
+                                    # structurally pathological
+                                    # (calendar/depth/params)
+    trap_min_urls: int = 64         # distinct URLs per family before
+                                    # the volume signal fires
+    trap_max_path_depth: int = 8    # path-SEGMENT depth signal (not
+                                    # the link-hop max_depth above)
     seen_bloom_fpp: float = 0.01
     hot_host_salt: int = 8          # salt shards for skewed hosts (W1)
 

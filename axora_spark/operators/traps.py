@@ -1,0 +1,108 @@
+"""Crawl-trap detection: find (host, path-template) families whose URL
+space explodes — calendars, session-id parameters, cartesian facet
+navigation — and prune the frontier before the crawler drowns in them.
+
+The reference bounds traps only by max_depth and its static skip-word
+list (crawler/crawler.go:63, dom_handler.go:40-41); neither catches a
+calendar that mints unbounded *distinct* URLs at depth 2. The standard
+large-crawler defense (Heritrix's "path-ology" rules, IRLbot's spam/
+budget work — Lee et al., WWW 2009) is statistical: group URLs by a
+shape signature, flag signatures whose distinct-URL count or structure
+is pathological, and stop scheduling them.
+
+Scale shape: signature extraction is map-only column algebra (regexes
+in codegen, no UDF); the per-(host, template) profile is ONE keyed
+aggregate with map-side partial reduction; the resulting trap table is
+tiny (signatures, not URLs), so the frontier gate is a broadcast
+anti-join. Nothing here scales with corpus size except the one
+aggregate over the frontier/seen URLs the crawl already holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def url_signature_cols(url: Column) -> list[Column]:
+    """(host, template, depth, n_params) for a URL — pure native string
+    algebra, mirrored 1:1 by the SQL in queries.SQL_TRAP_DETECTION.
+    template = path with every digit run collapsed to 'N', so
+    /cal/2025/08/17 and /cal/2024/01/02 share one signature."""
+    host = F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    template = F.regexp_replace(path, "[0-9]+", "N")
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    n_params = F.when(query == "", F.lit(0)) \
+                .otherwise(F.size(F.split(query, "&")))
+    return [host.alias("host"), template.alias("template"),
+            depth.alias("depth"), n_params.alias("n_params")]
+
+
+def with_url_signature(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.select("*", *url_signature_cols(F.col(url_col)))
+
+
+def detect_traps(urls: DataFrame, url_col: str = "url",
+                 min_urls: int = 64, max_depth: int = 8,
+                 max_params: int = 3) -> DataFrame:
+    """Profile every (host, template) family over a URL set (frontier,
+    seen, or both) and keep the pathological ones.
+
+    Reasons (comma-joined, deterministic order):
+      volume   — ≥ min_urls DISTINCT URLs share the signature (a
+                 template that keeps minting fresh URLs);
+      depth    — the family reaches max_depth path segments;
+      params   — some member carries ≥ max_params query parameters
+                 (facet/session cartesian);
+      calendar — the template itself holds ≥ 3 numeric segments
+                 (/cal/N/N/N — date-shaped url spaces).
+
+    volume is the trap signal; the structural reasons alone (a single
+    deep page, one parameter-heavy URL) don't condemn a family, so a
+    row is a trap only when `volume` AND at least one structural
+    reason hold. All four are reported for auditability.
+    """
+    sigs = urls.select(*url_signature_cols(F.col(url_col)),
+                       F.col(url_col).alias("_u"))
+    prof = (sigs.groupBy("host", "template")
+            .agg(F.count_distinct("_u").alias("n_urls"),
+                 F.max("depth").alias("max_depth"),
+                 F.max("n_params").alias("max_params"))
+            .withColumn("n_num_segs",
+                        F.size(F.split(F.col("template"), "/N", -1)) - 1))
+    volume = F.col("n_urls") >= min_urls
+    deep = F.col("max_depth") >= max_depth
+    params = F.col("max_params") >= max_params
+    calendar = F.col("n_num_segs") >= 3
+    reasons = F.concat_ws(
+        ",",
+        F.when(volume, F.lit("volume")),
+        F.when(calendar, F.lit("calendar")),
+        F.when(deep, F.lit("depth")),
+        F.when(params, F.lit("params")))
+    return (prof
+            .withColumn("reasons", reasons)
+            .filter(volume & (deep | params | calendar))
+            .select("host", "template", "n_urls", "max_depth",
+                    "max_params", "n_num_segs", "reasons"))
+
+
+def trap_filter(frontier: DataFrame, traps: DataFrame,
+                url_col: str = "url") -> DataFrame:
+    """Drop frontier URLs whose (host, template) signature is a known
+    trap. The trap table is signature-level (tiny at any corpus size)
+    — broadcast anti-join, zero shuffle of the frontier."""
+    keys = F.broadcast(traps.select("host", "template").distinct())
+    # frontier rows already carry `host`; derive only the template
+    tmpl = F.regexp_replace(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1),
+        "[0-9]+", "N")
+    out = (frontier.withColumn("_tmpl", tmpl)
+           .join(keys,
+                 (frontier["host"] == keys["host"])
+                 & (F.col("_tmpl") == keys["template"]),
+                 "left_anti")
+           .drop("_tmpl"))
+    return out

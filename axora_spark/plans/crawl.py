@@ -387,6 +387,20 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                  .persist())
         nxt = dedup_within_wave(union)
         nxt = anti_join_seen(nxt, catalog.read(spark, "seen"), None)
+        if cfg.trap_detect:
+            # statistical crawl-trap pruning (operators/traps.py): profile
+            # (host, path-template) families over everything the session
+            # has seen OR is about to schedule, and drop frontier URLs in
+            # pathological families. detect_traps is one keyed aggregate
+            # over seen∪frontier; the gate itself broadcasts the tiny
+            # signature table — per-wave cost is a scan the seen
+            # anti-join above already pays
+            from axora_spark.operators.traps import detect_traps, trap_filter
+            sig_src = (catalog.read(spark, "seen").select("url")
+                       .unionByName(nxt.select("url")))
+            traps = detect_traps(sig_src, min_urls=cfg.trap_min_urls,
+                                 max_depth=cfg.trap_max_path_depth)
+            nxt = trap_filter(nxt, traps)
         sid_links = None
         sid_ranks = None
         if cfg.priority_mode == "pagerank":

@@ -3197,6 +3197,100 @@ FROM est
 """
 
 
+# Crawl-trap detection (operators/traps.py) — (host, path-template)
+# families whose URL space explodes (calendars, session params).
+
+_TRAP_MIN_URLS = 16
+_TRAP_MAX_DEPTH = 4
+_TRAP_MAX_PARAMS = 3
+
+
+def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical crawl-trap detection (operators/traps.py; the
+    Heritrix/IRLbot defense the reference's static skip-list and
+    max_depth cannot express — a calendar mints unbounded DISTINCT urls
+    at depth 2). URL synthesis: five deterministic families per host —
+    an article space (high volume, benign), a /cal/N/N/N calendar, a
+    session+facet parameter space, a static page, and a deep /p/N/q/N
+    facet walk; the detector must flag exactly the calendar, the
+    parameter space, and the deep walk, and must NOT flag the
+    equally-high-volume article family.
+
+    Scale shape: map-only codegen signature extraction, one keyed
+    aggregate with partial reduction, signature-cardinality output —
+    the frontier gate (traps.trap_filter) then broadcast-anti-joins
+    this tiny table."""
+    from axora_spark.operators.traps import detect_traps
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 4), F.lit(".example.com"))
+    v = d % 5
+    path = (F.when(v == 0, F.concat(F.lit("/article/"), s(d)))
+            .when(v == 1, F.concat(F.lit("/cal/"), s(d % 3), F.lit("/"),
+                                   s(d % 12), F.lit("/"), s(d % 28)))
+            .when(v == 2, F.concat(F.lit("/p?session="), s(d),
+                                   F.lit("&sort="), s(d % 2),
+                                   F.lit("&ref="), s(d % 7)))
+            .when(v == 3, F.lit("/about"))
+            .otherwise(F.concat(F.lit("/p/"), s(d % 7), F.lit("/q/"),
+                                s(d % 11))))
+    urls = docs.select(F.concat(F.lit("https://"), host, path)
+                       .alias("url"))
+    return detect_traps(urls, min_urls=_TRAP_MIN_URLS,
+                        max_depth=_TRAP_MAX_DEPTH,
+                        max_params=_TRAP_MAX_PARAMS)
+
+
+SQL_TRAP_DETECTION = f"""
+WITH u AS (
+  SELECT 'https://h' || (doc_id % 4) || '.example.com' ||
+    CASE doc_id % 5
+      WHEN 0 THEN '/article/' || doc_id
+      WHEN 1 THEN '/cal/' || (doc_id % 3) || '/' || (doc_id % 12)
+                  || '/' || (doc_id % 28)
+      WHEN 2 THEN '/p?session=' || doc_id || '&sort=' || (doc_id % 2)
+                  || '&ref=' || (doc_id % 7)
+      WHEN 3 THEN '/about'
+      ELSE '/p/' || (doc_id % 7) || '/q/' || (doc_id % 11)
+    END AS url
+  FROM documents),
+s AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         regexp_replace(regexp_extract(url,
+             '^[a-z]+://[^/?#]+([^?#]*)', 1), '[0-9]+', 'N', 'g')
+           AS template,
+         len(list_filter(string_split(regexp_extract(url,
+             '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'), x -> x <> ''))
+           AS depth,
+         CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
+              ELSE len(string_split(
+                       regexp_extract(url, '\\?([^#]*)', 1), '&')) END
+           AS n_params
+  FROM u),
+p AS (
+  SELECT host, template, count(DISTINCT url) AS n_urls,
+         max(depth) AS max_depth, max(n_params) AS max_params,
+         len(string_split(template, '/N')) - 1 AS n_num_segs
+  FROM s GROUP BY host, template)
+SELECT host, template, n_urls,
+       CAST(max_depth AS INTEGER) AS max_depth,
+       CAST(max_params AS INTEGER) AS max_params,
+       CAST(n_num_segs AS INTEGER) AS n_num_segs,
+       concat_ws(',',
+         CASE WHEN n_urls >= {_TRAP_MIN_URLS} THEN 'volume' END,
+         CASE WHEN n_num_segs >= 3 THEN 'calendar' END,
+         CASE WHEN max_depth >= {_TRAP_MAX_DEPTH} THEN 'depth' END,
+         CASE WHEN max_params >= {_TRAP_MAX_PARAMS} THEN 'params' END)
+         AS reasons
+FROM p
+WHERE n_urls >= {_TRAP_MIN_URLS}
+  AND (max_depth >= {_TRAP_MAX_DEPTH}
+       OR max_params >= {_TRAP_MAX_PARAMS} OR n_num_segs >= 3)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3264,6 +3358,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "sessionize": q_sessionize,
     "recrawl_schedule": q_recrawl_schedule,
+    "trap_detection": q_trap_detection,
 }
 
 ORACLES = {
@@ -3329,4 +3424,5 @@ ORACLES = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "sessionize": SQL_SESSIONIZE,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
+    "trap_detection": SQL_TRAP_DETECTION,
 }

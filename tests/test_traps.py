@@ -1,0 +1,136 @@
+"""Crawl-trap detection (operators/traps.py): signature extraction
+truth table, family profiling rules, the frontier gate, and the
+run_crawl integration — a calendar that mints unbounded distinct URLs
+must stop being scheduled once its family crosses the volume
+threshold, while innocent hosts crawl on unaffected."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from axora_spark.operators.traps import (detect_traps, trap_filter,
+                                         with_url_signature)
+
+
+def test_url_signature_truth_table(spark):
+    cases = [
+        ("https://a.example.com/cal/2025/08/17",
+         ("a.example.com", "/cal/N/N/N", 4, 0)),
+        ("https://a.example.com/p?session=9&sort=1&ref=2",
+         ("a.example.com", "/p", 1, 3)),
+        ("https://b.example.com/about",
+         ("b.example.com", "/about", 1, 0)),
+        ("https://b.example.com/",
+         ("b.example.com", "/", 0, 0)),
+        ("https://b.example.com/article/12345",
+         ("b.example.com", "/article/N", 2, 0)),
+        # digit RUN collapses to one N; fragment is not a query
+        ("https://c.example.com/y2025m08#frag",
+         ("c.example.com", "/yNmN", 1, 0)),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: (r["host"], r["template"], r["depth"], r["n_params"])
+           for r in with_url_signature(df).collect()}
+    for u, want in cases:
+        assert got[u] == want, u
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_detect_traps_rules(spark):
+    urls = (
+        # calendar family: 8 distinct, 3 numeric segments
+        [f"https://t.example.com/cal/2025/{m}/{d}"
+         for m in range(1, 3) for d in range(1, 5)]
+        # high-volume article family: 8 distinct but structurally benign
+        + [f"https://t.example.com/article/{i}" for i in range(8)]
+        # param family: 8 distinct with 3 params each
+        + [f"https://t.example.com/p?session={i}&sort=0&ref=1"
+           for i in range(8)]
+        # deep family below the volume bar: must NOT flag
+        + ["https://t.example.com/a/1/b/2/c/3/d/4/e/5"]
+    )
+    traps = {(r["host"], r["template"]): r["reasons"] for r in
+             detect_traps(_urls(spark, urls), min_urls=8,
+                          max_depth=8, max_params=3).collect()}
+    assert ("t.example.com", "/cal/N/N/N") in traps
+    assert traps[("t.example.com", "/cal/N/N/N")] == "volume,calendar"
+    assert ("t.example.com", "/p") in traps
+    assert traps[("t.example.com", "/p")] == "volume,params"
+    assert ("t.example.com", "/article/N") not in traps  # benign volume
+    assert len(traps) == 2  # the deep singleton stayed below the bar
+
+
+def test_trap_filter_prunes_only_trap_family(spark):
+    urls = ([f"https://t.example.com/cal/2025/1/{d}" for d in range(20)]
+            + ["https://t.example.com/article/7",
+               "https://ok.example.com/cal/2025/1/1"])
+    frontier = (_urls(spark, urls)
+                .withColumn("host", F.regexp_extract(
+                    "url", r"^[a-z]+://([^/?#]+)", 1)))
+    traps = detect_traps(frontier, min_urls=10, max_depth=8)
+    kept = {r["url"] for r in trap_filter(frontier, traps).collect()}
+    # same template on ANOTHER host survives — signatures are per host
+    assert kept == {"https://t.example.com/article/7",
+                    "https://ok.example.com/cal/2025/1/1"}
+
+
+def _trap_corpus():
+    """Pre-parsed link-graph corpus: trap.example.com's calendar walks
+    forward forever (each day links the next 12 days); ok.example.com
+    is a clean 3-page chain."""
+    rows = []
+    cal = [f"https://trap.example.com/cal/2025/1/{i}" for i in range(120)]
+    rows.append({"url": "https://trap.example.com/start",
+                 "host": "trap.example.com", "title": None, "metas": None,
+                 "body_md": "start",
+                 "out_links": cal[:12] + ["https://ok.example.com/a"]})
+    for i in range(120):
+        rows.append({"url": cal[i], "host": "trap.example.com",
+                     "title": None, "metas": None, "body_md": "day",
+                     "out_links": cal[i + 12:i + 24]})
+    chain = ["https://ok.example.com/a", "https://ok.example.com/b",
+             "https://ok.example.com/c"]
+    for i, u in enumerate(chain):
+        rows.append({"url": u, "host": "ok.example.com", "title": None,
+                     "metas": None, "body_md": "ok",
+                     "out_links": chain[i + 1:i + 2]})
+    return rows
+
+
+@pytest.mark.parametrize("gate", [False, True])
+def test_crawl_trap_gate(spark, gate):
+    from axora_spark import schemas
+    from axora_spark.catalog import SnapshotCatalog
+    from axora_spark.config import CrawlConfig
+    from axora_spark.plans import crawl
+
+    rows = _trap_corpus()
+    corpus = spark.createDataFrame(rows, schemas.LINK_GRAPH)
+    cfg = CrawlConfig(
+        seeds=("https://trap.example.com/start",),
+        allowed_domains=("trap.example.com", "ok.example.com"),
+        max_depth=8, max_waves=5,
+        per_host_parallelism=3, per_host_delay_s=5.0, wave_seconds=25.0,
+        trap_detect=gate, trap_min_urls=13)
+    cat = SnapshotCatalog(tempfile.mkdtemp())
+    crawl.run_crawl(spark, cat, cfg, corpus)
+    adm = [r["url"] for r in cat.read(spark, "admitted").collect()]
+    n_cal = sum("/cal/" in u for u in adm)
+    if gate:
+        # wave 1 admits the first 12 calendar pages (family still under
+        # the volume bar when wave 0 built its frontier); by the end of
+        # wave 1 the family has 24 distinct members ≥ 13 → every later
+        # calendar URL is pruned before it reaches the scheduler
+        assert n_cal == 12
+    else:
+        assert n_cal >= 24  # ungated: the walk keeps going
+    # the innocent host is untouched either way
+    for u in ("https://ok.example.com/a", "https://ok.example.com/b",
+              "https://ok.example.com/c"):
+        assert u in adm
