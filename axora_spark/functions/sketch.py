@@ -97,3 +97,66 @@ def hll_estimate(df: DataFrame, key: str, value: str,
     bit-identical across engines; only ln() can differ in the last
     ulp, absorbed by 6dp output rounding downstream."""
     return hll_finalize(hll_registers(df, key, value, m), key, m)
+
+
+# --------------------------------------------------------------------------
+# MinHash set sketches: compact per-key signatures whose coordinate-wise
+# agreement estimates Jaccard overlap BETWEEN keys (Broder 1997, "On the
+# resemblance and containment of documents"). Complements the per-doc
+# near-dup minhash family (operators/neardup.py): there the unit is a
+# document and candidates come from LSH bands; here the unit is a whole
+# SOURCE (corpus, crawl, snapshot) and the question is "how much do two
+# corpora overlap?" — the mixing/dedup-audit question a training-data
+# pipeline asks before combining sources. Same one-hash digest-slice
+# permutation family as queries.q_minhash_signature (one sha256 per
+# value, permutation i = the i-th disjoint 8-hex-char slice).
+#
+# Scale shape: ONE keyed aggregate with map-side partial min — the
+# sketch is n_perm strings per key however many values stream through
+# (the hll_registers shape); the pairwise comparison then runs on the
+# tiny sketch table (sources × n_perm), never on the data.
+# --------------------------------------------------------------------------
+
+
+def minhash_set_sketch(df: DataFrame, key: str, value: str,
+                       n_perm: int = 8) -> DataFrame:
+    """Per-key minhash signature of the DISTINCT-value set. No explicit
+    distinct: min() is duplicate-insensitive, so the multiset stream
+    reduces map-side without the dedup shuffle. n_perm <= 8 uses one
+    sha256 digest's 8 disjoint 32-bit slices (matching the DuckDB
+    oracle); the hash is materialized in its OWN projection so the 8
+    aggregate expressions slice an attribute instead of re-evaluating
+    sha256 per aggregate (the q_minhash_signature lesson)."""
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    # one digest yields 8 permutations; production n_perm (64, 128)
+    # salts additional digests — group 0 stays UNSALTED so the n_perm<=8
+    # form matches the DuckDB oracle byte-for-byte
+    n_groups = (n_perm + 7) // 8
+    digests = [
+        F.sha2(F.col(value) if g == 0
+               else F.concat(F.col(value), F.lit(f"#{g}")), 256)
+        .alias(f"_h{g}")
+        for g in range(n_groups)]
+    hashed = df.select(F.col(key), *digests)
+    return hashed.groupBy(key).agg(
+        *[F.min(F.substring(f"_h{i // 8}", (i % 8) * 8 + 1, 8))
+          .alias(f"mh{i}") for i in range(n_perm)])
+
+
+def sketch_pairwise_jaccard(sketch: DataFrame, key: str,
+                            n_perm: int = 8) -> DataFrame:
+    """All key pairs (a < b) with the Jaccard estimate = fraction of
+    agreeing signature coordinates. The sketch table is tiny (keys ×
+    n_perm), so the pair join broadcasts."""
+    a = sketch.select(F.col(key).alias("key_a"),
+                      *[F.col(f"mh{i}").alias(f"a{i}")
+                        for i in range(n_perm)])
+    b = sketch.select(F.col(key).alias("key_b"),
+                      *[F.col(f"mh{i}").alias(f"b{i}")
+                        for i in range(n_perm)])
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                for i in range(n_perm))
+    return (a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+            .select("key_a", "key_b",
+                    (agree / F.lit(float(n_perm))).alias("est_jaccard")))

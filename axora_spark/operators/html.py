@@ -143,6 +143,22 @@ def extract_links(root: _Node) -> list[str]:
     return out
 
 
+def extract_links_text(root: _Node) -> list[dict]:
+    """Every a[href] in DOM order WITH its anchor text (whitespace-
+    collapsed subtree text) — the per-link signal the X3 href walk
+    drops. The reference's colly OnHTML("a[href]") callback receives
+    the element and could read e.Text the same way
+    (crawler/dom_handler.go's link callback uses only the attribute);
+    anchor text is what a web-scale indexer aggregates per TARGET
+    (operators/anchors.py)."""
+    out = []
+    for n in _walk(root):
+        if n.tag == "a" and "href" in n.attrs:
+            out.append({"href": n.attrs["href"],
+                        "text": " ".join(_text_of(n).split())})
+    return out
+
+
 def extract_title(root: _Node) -> str:
     for n in _walk(root):
         if n.tag == "title":

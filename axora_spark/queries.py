@@ -3291,6 +3291,146 @@ WHERE n_urls >= {_TRAP_MIN_URLS}
 """
 
 
+# Cross-source overlap estimation (functions/sketch.py minhash set
+# sketch) — "how much do two corpora share?" before mixing them.
+
+_SO_PERMS = 8
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap between sources via per-source MinHash
+    set sketches (Broder 1997; functions/sketch.minhash_set_sketch).
+    The question a mixing recipe asks before combining corpora — and
+    the dedup audit asks after (near-identical sources = double-counted
+    mass). Exact pairwise overlap needs |S|² set intersections over the
+    full corpus; the sketch answers it from n_perm strings per source.
+
+    Scale shape: one keyed aggregate with map-side partial min (the
+    hll_registers shape — 8 strings per source however many words
+    stream through), then the pair join runs on the sources×8 sketch
+    table, broadcast. est_jaccard is count/8 — exact in binary, no
+    rounding needed."""
+    from axora_spark.functions.sketch import (minhash_set_sketch,
+                                              sketch_pairwise_jaccard)
+    words = _source_words(spark, sf_dir)
+    sk = minhash_set_sketch(words, "source", "word", n_perm=_SO_PERMS)
+    return (sketch_pairwise_jaccard(sk, "source", n_perm=_SO_PERMS)
+            .select(F.col("key_a").alias("source_a"),
+                    F.col("key_b").alias("source_b"),
+                    "est_jaccard"))
+
+
+def _source_overlap_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(substr(hh, {i * 8 + 1}, 8)) AS mh{i}"
+        for i in range(_SO_PERMS))
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_SO_PERMS))
+    return f"""
+WITH w AS (
+  SELECT source, unnest({WORDS_SQL}) AS word FROM documents),
+h AS (SELECT source, sha256(word) AS hh FROM w),
+sk AS (
+  SELECT source,
+         {mins}
+  FROM h GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       ({agree}) / {_SO_PERMS}.0 AS est_jaccard
+FROM sk a JOIN sk b ON a.source < b.source
+"""
+
+
+SQL_SOURCE_OVERLAP = _source_overlap_sql()
+
+
+# Anchor-text aggregation per link target (operators/anchors.py).
+
+def _anchor_links_udf():
+    """array<struct<href,text>> per page — REAL DOM walk
+    (html.extract_links_text), one parse per page, Arrow-batched."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from axora_spark.operators.html import extract_links_text, parse_dom
+    out_t = T.ArrayType(T.StructType([
+        T.StructField("href", T.StringType()),
+        T.StructField("text", T.StringType())]))
+
+    # no type hints: the hint checker rejects Series→Series-of-structs
+    @F.pandas_udf(out_t)
+    def u(html):
+        return html.map(lambda h: extract_links_text(parse_dom(h)))
+
+    return u.asNondeterministic()
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link TARGET (operators/anchors.py)
+    over the real parse (html.extract_links_text — hrefs WITH their
+    DOM-order anchor text) and the real absolutizer (X1 pandas UDF).
+    Page URL = https://h{doc_id%4}.example.com/doc/{doc_id}, so
+    boilerplate targets (/login, /tag/x, /about) merge per host across
+    thousands of pages while /next/{id} and the external link stay
+    singletons — the in-degree/anchor profile an indexer consumes.
+
+    Scale: one parse per page (outer explode defeats the size>0
+    re-evaluation trap), then two keyed aggregates + a WindowGroupLimit
+    top-k all hashed by target (see operators/anchors.py)."""
+    from axora_spark.operators.anchors import aggregate_anchor_text
+    from axora_spark.operators.urls import absolutize_udf, host_col
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    d = F.col("doc_id")
+    page_url = F.concat(F.lit("https://h"), (d % 4).cast("string"),
+                        F.lit(".example.com/doc/"), d.cast("string"))
+    parsed = docs.select(
+        page_url.alias("page_url"),
+        _anchor_links_udf()(_synth_html_col()).alias("links"))
+    rows = (parsed
+            .select("page_url", F.explode_outer("links").alias("l"))
+            .filter(F.col("l").isNotNull())
+            .select("page_url",
+                    absolutize_udf(F.col("page_url"),
+                                   F.col("l.href")).alias("target"),
+                    F.col("l.text").alias("text")))
+    rows = rows.withColumn("src_host", host_col(F.col("page_url")))
+    return aggregate_anchor_text(rows, top_k=8)
+
+
+SQL_ANCHOR_TEXT = """
+WITH l AS (
+  SELECT doc_id,
+         'h' || (doc_id % 4) || '.example.com' AS src_host,
+         CASE u.pos
+           WHEN 0 THEN 'https://h' || (doc_id % 4) || '.example.com/login'
+           WHEN 1 THEN 'https://h' || (doc_id % 4) || '.example.com/tag/x'
+           WHEN 2 THEN 'https://h' || (doc_id % 4) || '.example.com/next/'
+                       || doc_id
+           WHEN 3 THEN 'https://ext.example.com/' || doc_id
+           ELSE 'https://h' || (doc_id % 4) || '.example.com/about'
+         END AS target,
+         CASE u.pos WHEN 0 THEN 'log in' WHEN 1 THEN 'tags'
+           WHEN 2 THEN 'next' WHEN 3 THEN 'ext' ELSE 'about'
+         END AS anchor
+  FROM documents, (SELECT unnest(range(0, 5)) AS pos) u),
+p AS (
+  SELECT target, count(*) AS in_links,
+         count(DISTINCT src_host) AS n_src_hosts
+  FROM l GROUP BY target),
+c AS (SELECT target, anchor, count(*) AS n FROM l GROUP BY target, anchor),
+r AS (
+  SELECT target, anchor,
+         row_number() OVER (PARTITION BY target
+                            ORDER BY n DESC, anchor) AS rk
+  FROM c),
+t AS (
+  SELECT target, list_sort(list(anchor)) AS anchors
+  FROM r WHERE rk <= 8 GROUP BY target)
+SELECT p.target AS url, in_links, n_src_hosts, anchors
+FROM p JOIN t ON p.target = t.target
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3359,6 +3499,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "recrawl_schedule": q_recrawl_schedule,
     "trap_detection": q_trap_detection,
+    "source_overlap": q_source_overlap,
+    "anchor_text": q_anchor_text,
 }
 
 ORACLES = {
@@ -3425,4 +3567,6 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "trap_detection": SQL_TRAP_DETECTION,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "anchor_text": SQL_ANCHOR_TEXT,
 }

@@ -52,6 +52,7 @@ HEADLINE = [
     "events_tumbling", "sessionize", "event_conversion",
     "retention_cohorts", "moving_window", "rollup_orders",
     "cube_events", "value_percentiles",
+    "recrawl_schedule", "trap_detection", "source_overlap", "anchor_text",
 ]
 
 CRAWL_FRONTIER_N = int(os.environ.get("AXORA_BENCH_FRONTIER_N", 2_000_000))
