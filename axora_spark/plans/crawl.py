@@ -254,7 +254,8 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
               robots_txt: dict[str, str] | None = None,
               seen_filter_kind: str = "bloom",
               fetcher=None,
-              compact_every: int | None = None) -> CrawlRun:
+              compact_every: int | None = None,
+              initial_frontier: DataFrame | None = None) -> CrawlRun:
     """Run (or resume) a crawl session to completion.
 
     corpus: fixture corpus (raw-HTML or pre-parsed; see sources.fetch),
@@ -291,7 +292,12 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
     state = _load_state(catalog) if resume else None
     if state is None:
         init_tables(catalog)
-        frontier = seed_frontier(spark, cfg)
+        # initial_frontier: alternative wave-0 seeding (sitemap source —
+        # sources.sitemap.sitemap_seed_frontier — or a revisit frontier
+        # from operators.recrawl); must already be filtered + deduped in
+        # FRONTIER shape. Default: the S1 seed list.
+        frontier = initial_frontier if initial_frontier is not None \
+            else seed_frontier(spark, cfg)
         sid = catalog.overwrite(spark, "frontier", frontier)
         # wave -1 lineage row pins the SEEDED frontier so a crash inside
         # wave 0 (after its frontier overwrite) can still roll back to it
