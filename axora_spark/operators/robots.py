@@ -39,10 +39,16 @@ class HostRules:
     allows: list[str] = field(default_factory=list)
     disallows: list[str] = field(default_factory=list)
     crawl_delay: float | None = None
+    # `Sitemap:` is a standalone directive OUTSIDE user-agent groups
+    # (sitemaps.org autodiscovery; RFC 9309 §2.2.4 treats it as an
+    # "other record") — collected wherever it appears, feeds
+    # sources/sitemap.expand_sitemaps for robots-driven seeding
+    sitemaps: list[str] = field(default_factory=list)
 
 
 def parse_robots(text: str) -> HostRules:
-    """Parse the User-agent:* group(s) of a robots.txt body."""
+    """Parse the User-agent:* group(s) of a robots.txt body, plus the
+    group-independent Sitemap: directives."""
     rules = HostRules()
     applies = False
     saw_ua = False
@@ -53,7 +59,10 @@ def parse_robots(text: str) -> HostRules:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
-        if key == "user-agent":
+        if key == "sitemap":
+            if val:
+                rules.sitemaps.append(val)
+        elif key == "user-agent":
             if saw_ua and applies and val != "*":
                 applies = False
             if val == "*":

@@ -141,3 +141,24 @@ def test_sitemap_seeded_crawl_admits_by_declared_priority(spark):
     assert [u for _, _, u in adm[:3]] == [urls[1], urls[3], urls[5]]
     # the rest defer to wave 1, still priority-ordered
     assert [u for _, _, u in adm[3:]] == [urls[2], urls[4], urls[0]]
+
+
+def test_robots_sitemap_autodiscovery(spark):
+    # Sitemap: is group-independent (sitemaps.org autodiscovery) — it
+    # must be collected outside User-agent:* groups and feed the same
+    # expansion path as explicit sitemap URLs
+    from axora_spark.operators.robots import parse_robots
+    robots = ("User-agent: googlebot\nDisallow: /private\n\n"
+              "Sitemap: https://s.example.com/sm_a.xml\n"
+              "User-agent: *\nDisallow: /tmp\n"
+              "Sitemap: https://s.example.com/sm_b.xml\n")
+    rules = parse_robots(robots)
+    assert rules.sitemaps == ["https://s.example.com/sm_a.xml",
+                              "https://s.example.com/sm_b.xml"]
+    assert rules.disallows == ["/tmp"]  # group scoping unchanged
+    files = {u: _urlset([{"loc": f"https://s.example.com/{n}"}])
+             for u, n in [("https://s.example.com/sm_a.xml", "a"),
+                          ("https://s.example.com/sm_b.xml", "b")]}
+    got = expand_sitemaps(spark, rules.sitemaps, _transport(files))
+    assert {r["loc"] for r in got.collect()} == \
+        {"https://s.example.com/a", "https://s.example.com/b"}
