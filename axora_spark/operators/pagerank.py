@@ -89,3 +89,76 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
                                 + F.col("dmass") / F.col("n")))
                      .alias("r")))
     return ranks
+
+
+def coarsen_edges(edges: DataFrame, mapping: DataFrame,
+                  drop_intra: bool = True) -> DataFrame:
+    """Graph coarsening: doc-level (src, dst) edges + a (doc_id, grp)
+    mapping → group-level weighted edges (src, dst, weight=multiplicity).
+    drop_intra removes same-group edges (for host graphs: intra-site
+    navigation is not an authority signal — the standard HostGraph
+    construction, cf. Bharat & Henzinger's host-level aggregation).
+
+    Scale: two joins against the mapping (at host level the mapping is
+    doc→host, same cardinality as docs, hash-joined on the edge
+    endpoints) then ONE keyed count agg; the coarsened graph is
+    |hosts|²-bounded — typically 5-6 orders smaller than the doc graph,
+    which is the point: rank iterations then run on the tiny graph."""
+    m_src = mapping.select(F.col("doc_id").alias("src"),
+                           F.col("grp").alias("_gsrc"))
+    m_dst = mapping.select(F.col("doc_id").alias("dst"),
+                           F.col("grp").alias("_gdst"))
+    g = (edges.join(m_src, "src").join(m_dst, "dst")
+         .select(F.col("_gsrc").alias("src"),
+                 F.col("_gdst").alias("dst")))
+    if drop_intra:
+        g = g.filter(F.col("src") != F.col("dst"))
+    return g.groupBy("src", "dst").agg(F.count("*").alias("weight"))
+
+
+def pagerank_weighted(edges: DataFrame, nodes: DataFrame, iters: int = 5,
+                      damp: float = 0.85, teleport: float = 0.15,
+                      handles: list | None = None) -> DataFrame:
+    """Weighted PageRank: edges carry a `weight` column and a node's
+    outflow splits proportionally —
+        r' = teleport/N + damp * (sum_in r*w/wout + dangling_mass/N)
+    Reduces to `pagerank` when every weight is 1 (parity-tested). Same
+    plan shape per iteration (one src-join + one dst-agg), same static
+    checkpoints, same skew story; self-loops are dropped (their weight
+    does not count toward wout, matching coarsen_edges' drop_intra)."""
+    ids = nodes.select("doc_id")
+    n_df = ids.agg(F.count("*").alias("n"))
+    nodes_n = ids.crossJoin(F.broadcast(n_df))
+
+    e = (edges.select("src", "dst", "weight")
+         .filter(F.col("src") != F.col("dst")))
+    wout = e.groupBy("src").agg(F.sum("weight").alias("wout"))
+    e = e.join(wout, "src").localCheckpoint(eager=False)
+    dangling_ids = (nodes_n.select("doc_id")
+                    .join(wout.select(F.col("src").alias("doc_id")),
+                          "doc_id", "left_anti")
+                    .localCheckpoint(eager=False))
+    if handles is not None:
+        handles.extend([e, dangling_ids])
+
+    ranks = nodes_n.select("doc_id",
+                           (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(iters):
+        contrib = (e.join(ranks, e["src"] == ranks["doc_id"])
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("r") * F.col("weight")
+                              / F.col("wout")).alias("inflow")))
+        dangling = (ranks.join(dangling_ids, "doc_id", "left_semi")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0))
+                         .alias("dmass")))
+        ranks = (nodes_n.join(contrib,
+                              nodes_n["doc_id"] == contrib["dst"],
+                              "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select(
+                     "doc_id",
+                     (F.lit(teleport) / F.col("n")
+                      + damp * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                                + F.col("dmass") / F.col("n")))
+                     .alias("r")))
+    return ranks

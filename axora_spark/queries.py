@@ -3431,6 +3431,83 @@ FROM p JOIN t ON p.target = t.target
 """
 
 
+# Host-graph coarsening + weighted HostRank (operators/pagerank.py).
+
+_HR_HOSTS = 16
+
+
+def q_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HostRank: coarsen the doc link graph to a weighted HOST graph
+    (operators/pagerank.coarsen_edges — intra-host edges dropped, the
+    Bharat & Henzinger host-aggregation) and power-iterate the weighted
+    PageRank over it. Same deterministic doc graph as q_pagerank
+    (edges doc→(doc·k+7) mod N), host = doc_id mod 16.
+
+    This is the authority signal at the granularity a CRAWLER allocates
+    budget (per-host politeness, per-domain quotas): the coarsened
+    graph is |hosts|²-bounded — orders of magnitude smaller than the
+    doc graph — so the 5 rank iterations run on a dwarf table while the
+    only corpus-scale work is the coarsening join+count. Rounded to 6dp
+    as in q_pagerank."""
+    from axora_spark.operators.pagerank import (coarsen_edges,
+                                                pagerank_weighted)
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    ids = docs.select("doc_id")
+    n_df = ids.agg(F.count("*").alias("n"))
+    nodes = ids.crossJoin(F.broadcast(n_df))
+    edges = None
+    for k in _PR_EDGE_KS:
+        e = nodes.select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * k + 7) % F.col("n"))
+                         .alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    mapping = ids.select("doc_id", (F.col("doc_id") % _HR_HOSTS)
+                         .alias("grp"))
+    hedges = coarsen_edges(edges, mapping)
+    hnodes = (ids.select((F.col("doc_id") % _HR_HOSTS).alias("doc_id"))
+              .distinct())
+    ranks = pagerank_weighted(hedges, hnodes, iters=_PR_ITERS,
+                              damp=_PR_DAMP, teleport=_PR_TELEPORT)
+    return ranks.select(F.col("doc_id").alias("host"),
+                        F.round("r", 6).alias("rank"))
+
+
+def _hostrank_sql() -> str:
+    edge_sel = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {k} + 7) % (SELECT n FROM nn) "
+        f"AS dst FROM documents" for k in _PR_EDGE_KS)
+    h = _HR_HOSTS
+    sql = f"""WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS ({edge_sel}),
+he AS (SELECT src % {h} AS src, dst % {h} AS dst, count(*) AS w
+       FROM e0 WHERE src % {h} <> dst % {h} GROUP BY 1, 2),
+hn AS (SELECT DISTINCT doc_id % {h} AS host FROM documents),
+hc AS (SELECT count(*) AS n FROM hn),
+wo AS (SELECT src, sum(w) AS wout FROM he GROUP BY src),
+e AS (SELECT he.src, he.dst, he.w, wo.wout FROM he JOIN wo USING (src)),
+r0 AS (SELECT host, 1e0 / (SELECT n FROM hc) AS r FROM hn)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+c{i} AS (SELECT e.dst, sum({prev}.r * e.w / e.wout) AS inflow
+        FROM e JOIN {prev} ON e.src = {prev}.host GROUP BY e.dst),
+d{i} AS (SELECT coalesce(sum(r), 0e0) AS dmass FROM {prev}
+        WHERE host NOT IN (SELECT src FROM wo)),
+r{i} AS (SELECT hn.host,
+               {_PR_TELEPORT}e0 / (SELECT n FROM hc)
+               + {_PR_DAMP}e0 * (coalesce(c{i}.inflow, 0e0)
+                               + (SELECT dmass FROM d{i})
+                                 / (SELECT n FROM hc)) AS r
+        FROM hn LEFT JOIN c{i} ON hn.host = c{i}.dst)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT host, round(r, 6) AS rank FROM {prev}"""
+    return sql
+
+
+SQL_HOSTRANK = _hostrank_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3501,6 +3578,7 @@ QUERIES = {
     "trap_detection": q_trap_detection,
     "source_overlap": q_source_overlap,
     "anchor_text": q_anchor_text,
+    "hostrank": q_hostrank,
 }
 
 ORACLES = {
@@ -3569,4 +3647,5 @@ ORACLES = {
     "trap_detection": SQL_TRAP_DETECTION,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "anchor_text": SQL_ANCHOR_TEXT,
+    "hostrank": SQL_HOSTRANK,
 }
