@@ -94,6 +94,16 @@ class CrawlConfig:
                                     # on boilerplate-heavy corpora
                                     # where one band key holds
                                     # hundreds of docs
+    domain_quota: int | None = None  # cumulative per-host admission cap
+                                    # across the whole session (IRLbot-
+                                    # style domain budgeting): each
+                                    # wave's per-host budget is capped
+                                    # at quota minus that host's
+                                    # admissions so far, and once a
+                                    # host exhausts its quota its
+                                    # pending/deferred URLs are DROPPED
+                                    # from the frontier (bounded state,
+                                    # not eternal deferral)
     trap_detect: bool = False       # statistical crawl-trap pruning
                                     # (operators/traps.py): profile
                                     # (host, path-template) families

@@ -40,7 +40,8 @@ def _order_cols():
 
 
 def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
-          budget_overrides: dict[str, int] | None = None
+          budget_overrides: dict[str, int] | None = None,
+          budget_caps: DataFrame | None = None
           ) -> tuple[DataFrame, DataFrame]:
     """Split a wave's candidate frontier into (admitted, deferred).
 
@@ -57,6 +58,7 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
     comparison disables it (this was the r2→r3 politeness_rank
     regression: the override plumbing added a constant `_budget` column
     even when no overrides existed; plan-gated now)."""
+    use_cols = bool(budget_overrides) or budget_caps is not None
     if budget_overrides:
         spark = frontier.sparkSession
         bdf = spark.createDataFrame(
@@ -67,8 +69,26 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
                                 F.coalesce(F.col("_budget"),
                                            F.lit(host_budget))))
         budget = F.col("_budget")
+    elif use_cols:
+        frontier = frontier.withColumn("_budget", F.lit(host_budget))
+        budget = F.col("_budget")
     else:
         budget = F.lit(host_budget)
+    if budget_caps is not None:
+        # per-host remaining-quota CAP (cumulative domain quotas,
+        # plans/crawl.py): a (host, _cap) frame computed DISTRIBUTED by
+        # the caller — broadcast here because its cardinality is
+        # #hosts-with-history, the same class as the robots rules table.
+        # Hosts absent from the frame are uncapped.
+        frontier = (frontier.join(
+            F.broadcast(budget_caps.select("host", "_cap")),
+            on="host", how="left")
+            .withColumn("_budget",
+                        F.least(budget,
+                                F.coalesce(F.col("_cap"),
+                                           F.lit(2**31 - 1))))
+            .drop("_cap"))
+        budget = F.col("_budget")
 
     salted = frontier.withColumn(
         "_salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int"))
@@ -83,7 +103,7 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
     ranked = survivors.withColumn("rank", F.row_number().over(w2)).drop("_salt")
 
     admitted = ranked.filter(F.col("rank") <= budget)
-    if budget_overrides:
+    if use_cols:
         admitted = admitted.drop("_budget")
         frontier = frontier.drop("_budget")
     # Deferred = everything not admitted. Anti-join on url_hash (unique per

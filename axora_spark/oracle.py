@@ -137,6 +137,7 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                                min(prev[2], 0))
 
     seen: set[str] = set()
+    host_admitted: dict[str, int] = {}  # cumulative (domain_quota)
     link_edges: set[tuple[str, str]] = set()  # priority_mode="pagerank"
     ranks_cache: dict[str, float] = {}        # committed rank table twin
     admitted_log: list[tuple[int, str, int, str, int]] = []
@@ -166,12 +167,20 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
         deferred: dict[str, tuple[int, float, int]] = {}
         for host, urls in by_host.items():
             budget = budget_override.get(host, cfg.host_budget)
+            if cfg.domain_quota is not None:
+                # cumulative per-host cap (engine: politeness.admit
+                # budget_caps joined from the admitted table)
+                budget = min(budget,
+                             max(0, cfg.domain_quota
+                                 - host_admitted.get(host, 0)))
             urls.sort(key=lambda u: (-candidates[u][1], u))  # priority DESC, url ASC
             for rank, u in enumerate(urls, start=1):
                 if rank <= budget:
                     admitted.append((host, u, rank))
                 else:
                     deferred[u] = candidates[u]
+        for host, u, _r in admitted:
+            host_admitted[host] = host_admitted.get(host, 0) + 1
         for host, u, rank in admitted:
             admitted_log.append((wave, host, rank, u, candidates[u][0]))
             seen.add(u)
@@ -211,6 +220,16 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                     next_frontier[c] = (min(prev[0], child_depth),
                                         max(prev[1], p),
                                         min(prev[2], wave + 1))
+        if cfg.domain_quota is not None:
+            # exhausted hosts leave the frontier entirely — deferred AND
+            # newly discovered rows (engine: the broadcast anti-join on
+            # nxt after this wave's admitted-table append). The metrics
+            # 'deferred' count above stays PRE-drop, matching the
+            # engine's candidates-minus-admitted accounting.
+            next_frontier = {
+                u: v for u, v in next_frontier.items()
+                if host_admitted.get(urlnorm.host_of(u), 0)
+                < cfg.domain_quota}
         if cfg.priority_mode == "pagerank":
             # mirror plans/crawl._pagerank_priorities: recompute the
             # rank table on wave % rank_every == 0, reuse the committed

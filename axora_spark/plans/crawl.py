@@ -350,10 +350,24 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
         # consumer (VERDICT r2 'What's wrong' #2; bench.py already did this)
         candidates = candidates.persist()
 
-        # W1 — politeness admission
+        # W1 — politeness admission (optionally capped by the remaining
+        # per-host quota — computed DISTRIBUTED from the admitted table,
+        # one count row per host with history)
+        quota_caps = None
+        if cfg.domain_quota is not None:
+            quota_caps = (catalog.read(spark, "admitted")
+                          .groupBy("host")
+                          .agg(F.count("*").alias("_n"))
+                          .select("host",
+                                  F.greatest(
+                                      F.lit(0),
+                                      F.lit(cfg.domain_quota)
+                                      - F.col("_n")).cast("int")
+                                  .alias("_cap")))
         admitted, deferred = politeness.admit(
             candidates, cfg.host_budget, salt=cfg.hot_host_salt,
-            budget_overrides=budget_overrides or None)
+            budget_overrides=budget_overrides or None,
+            budget_caps=quota_caps)
         admitted = admitted.persist()
         n_admitted = admitted.count()
 
@@ -393,6 +407,17 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                  .persist())
         nxt = dedup_within_wave(union)
         nxt = anti_join_seen(nxt, catalog.read(spark, "seen"), None)
+        if cfg.domain_quota is not None:
+            # drop frontier rows (deferred AND newly discovered) on hosts
+            # whose cumulative quota is exhausted — bounded frontier
+            # state instead of eternal deferral; the admitted table
+            # already contains this wave's append, so the count is
+            # current. One tiny keyed agg + a broadcast anti-join.
+            exhausted = (catalog.read(spark, "admitted")
+                         .groupBy("host").agg(F.count("*").alias("_n"))
+                         .filter(F.col("_n") >= cfg.domain_quota)
+                         .select("host"))
+            nxt = nxt.join(F.broadcast(exhausted), "host", "left_anti")
         if cfg.trap_detect:
             # statistical crawl-trap pruning (operators/traps.py): profile
             # (host, path-template) families over everything the session

@@ -143,3 +143,25 @@ def test_pagerank_operator_vs_twin_self_loops(spark):
     want = {k: _round6(v) for k, v in _pagerank_py(edge_set).items()}
     assert got == want
     assert 3 in got  # the self-loop-only node IS ranked (dangling)
+
+
+def test_domain_quota_engine_equals_oracle(spark, catalog, fixture_pages):
+    # cumulative per-host budget (IRLbot-style domain quotas): engine
+    # admission log must stay byte-identical to the oracle, every host
+    # must respect the cap, and the quota must actually bind vs the
+    # unquotaed session
+    cfg = datagen.fixture_config(fixture_pages, domain_quota=9)
+    want = oracle.simulate(fixture_pages, cfg)
+    base = oracle.simulate(fixture_pages,
+                           datagen.fixture_config(fixture_pages))
+    per_host: dict[str, int] = {}
+    for _, h, _, _, _ in want.admitted:
+        per_host[h] = per_host.get(h, 0) + 1
+    assert max(per_host.values()) <= 9
+    assert len(want.admitted) < len(base.admitted)  # the cap bound
+    # the hot host hits the quota exactly (it admits 6 in wave 0 alone)
+    assert max(per_host.values()) == 9
+
+    corpus = spark.createDataFrame(fixture_pages, schemas.LINK_GRAPH)
+    crawl.run_crawl(spark, catalog, cfg, corpus)
+    _compare(spark, catalog, want)
