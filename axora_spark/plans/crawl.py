@@ -429,8 +429,12 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
             from axora_spark.operators.traps import detect_traps, trap_filter
             sig_src = (catalog.read(spark, "seen").select("url")
                        .unionByName(nxt.select("url")))
+            # exact=False: the volume signal tolerates HLL++ error and
+            # the approx form is ONE exchange of sketch rows instead of
+            # a full (host, template, url) shuffle of seen∪frontier
             traps = detect_traps(sig_src, min_urls=cfg.trap_min_urls,
-                                 max_depth=cfg.trap_max_path_depth)
+                                 max_depth=cfg.trap_max_path_depth,
+                                 exact=False)
             nxt = trap_filter(nxt, traps)
         sid_links = None
         sid_ranks = None

@@ -73,3 +73,22 @@ def test_estimate_within_error_bound_at_production_perms(spark):
         .collect()[0]["est_jaccard"]
     bound = 4 * math.sqrt(jacc * (1 - jacc) / n_perm)
     assert abs(est - jacc) <= bound, (est, jacc, bound)
+
+
+def test_overlap_plan_partial_min_single_exchange(spark):
+    # the sketch must reduce map-side (partial_min) to n_perm strings
+    # per source before its single keyed exchange; the pair join runs
+    # broadcast on the dwarf sketch table
+    from axora_spark.queries import q_source_overlap
+    df = q_source_overlap(spark, "/root/testdata/sf0.001")
+    df.collect()  # the self-join dedup is an AQE stage-reuse property —
+    # only the EXECUTED plan shows the ReusedExchange
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert "partial_min" in final
+    # count NODES (the ReusedExchange line echoes the original
+    # exchange's description, so a plain substring count sees two)
+    assert final.count("+- Exchange hashpartitioning") == 1
+    assert "ReusedExchange" in final  # b-side reuses it, no second scan
+    assert final.count("FileScan parquet") == 1
+    assert "BroadcastNestedLoopJoin" in final  # tiny pair join

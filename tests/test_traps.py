@@ -134,3 +134,34 @@ def test_crawl_trap_gate(spark, gate):
     for u in ("https://ok.example.com/a", "https://ok.example.com/b",
               "https://ok.example.com/c"):
         assert u in adm
+
+
+def test_trap_volume_modes_plan_shapes(spark):
+    # exact mode: the distinct-agg expansion — two keyed exchanges, the
+    # first carrying (host, template, url). approx mode (the crawl
+    # loop's form): ONE exchange of pre-aggregated HLL sketch rows.
+    urls = _urls(spark, [f"https://t.example.com/cal/2025/1/{d}"
+                         for d in range(30)])
+    def _plan(df):
+        return (df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+    exact = _plan(detect_traps(urls, min_urls=10))
+    approx = _plan(detect_traps(urls, min_urls=10, exact=False))
+    assert exact.count("Exchange hashpartitioning") == 2
+    assert approx.count("Exchange hashpartitioning") == 1
+    assert "approx_count_distinct" in approx
+
+
+def test_trap_approx_agrees_with_exact_on_families(spark):
+    urls = ([f"https://t.example.com/cal/2025/{m}/{d}"
+             for m in range(1, 4) for d in range(1, 10)]
+            + [f"https://t.example.com/p?session={i}&sort=0&ref=1"
+               for i in range(20)])
+    kw = dict(min_urls=15, max_depth=8, max_params=3)
+    exact = {(r["host"], r["template"]): r["reasons"]
+             for r in detect_traps(_urls(spark, urls), **kw).collect()}
+    approx = {(r["host"], r["template"]): r["reasons"]
+              for r in detect_traps(_urls(spark, urls), exact=False,
+                                    **kw).collect()}
+    assert set(exact) == set(approx)  # same families flagged
+    assert exact == approx            # same reasons at these margins
