@@ -40,7 +40,26 @@ def _check_m(m: int) -> int:
     return p
 
 
-def hll_registers(df: DataFrame, key: str, value: str,
+def _keys(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def hll_rho_cols(value: str, m: int) -> tuple:
+    """(bucket, rho) columns for one value — the per-row half of the
+    register aggregation, shared by hll_registers and the streaming
+    trap profile (streaming/traps.py)."""
+    p = _check_m(m)
+    low = 32 - p
+    h = (F.conv(F.substring(F.sha2(F.col(value), 256), 1, 8), 16, 10)
+         .cast("long"))
+    w_low = h.bitwiseAND(F.lit((1 << low) - 1))
+    bucket = F.shiftright(h, low)
+    rho = (F.when(w_low == 0, F.lit(low + 1))
+           .otherwise(low + 1 - F.length(F.bin(w_low))))
+    return bucket, rho
+
+
+def hll_registers(df: DataFrame, key, value: str,
                   m: int = 16) -> DataFrame:
     """The register half of the sketch: (key, bucket, m_reg) with
     m_reg = max rho per bucket. This aggregation is the sketch's WHOLE
@@ -51,39 +70,43 @@ def hll_registers(df: DataFrame, key: str, value: str,
       h      = first 32 bits of sha256(value)
       bucket = h >> (32-p)   (top p = log2(m) bits)
       rho    = leading-zero count of the low 32-p bits + 1
-               (= 33-p - length(bin(w)); w = 0 -> 33-p)"""
-    p = _check_m(m)
-    low = 32 - p
-    h = (F.conv(F.substring(F.sha2(F.col(value), 256), 1, 8), 16, 10)
-         .cast("long"))
-    hashed = df.select(F.col(key), h.alias("h"))
-    w_low = F.col("h").bitwiseAND(F.lit((1 << low) - 1))
-    return (hashed
-            .select(key, F.shiftright("h", low).alias("bucket"),
-                    F.when(w_low == 0, F.lit(low + 1))
-                    .otherwise(low + 1 - F.length(F.bin(w_low)))
-                    .alias("rho"))
-            .groupBy(key, "bucket")
+               (= 33-p - length(bin(w)); w = 0 -> 33-p)
+
+    `key` may be a single column name or a list (composite keys — the
+    streaming trap profile groups by (host, template))."""
+    ks = _keys(key)
+    bucket, rho = hll_rho_cols(value, m)
+    return (df
+            .select(*ks, bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(*ks, "bucket")
             .agg(F.max("rho").alias("m_reg")))
 
 
-def hll_finalize(per_bucket: DataFrame, key: str,
-                 m: int = 16) -> DataFrame:
+def hll_finalize(per_bucket: DataFrame, key,
+                 m: int = 16, extra_aggs: list | None = None) -> DataFrame:
     """Registers -> estimate: E = alpha_m * m^2 / sum(2^-M_j),
     small-range corrected to m*ln(m/V) when E <= 2.5m and V > 0 empty
-    registers. Pure read-side math over m rows per key."""
+    registers. Pure read-side math over m rows per key.
+
+    extra_aggs: additional aggregate Columns carried through the same
+    groupBy (monotone companions stored at register grain, e.g. the
+    trap profile's max depth/params)."""
     _check_m(m)
-    per_key = (per_bucket.groupBy(key)
+    ks = _keys(key)
+    per_key = (per_bucket.groupBy(*ks)
                .agg(F.sum(F.pow(F.lit(2.0), -F.col("m_reg")))
                     .alias("z_present"),
-                    F.count("*").alias("nb")))
+                    F.count("*").alias("nb"),
+                    *(extra_aggs or [])))
     zeros = (m - F.col("nb")).cast("double")
     z = F.col("z_present") + zeros  # absent registers contribute 2^0
     raw = F.lit(hll_alpha(m) * m * m) / z
     est = F.when((raw <= 2.5 * m) & (zeros > 0),
                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
            .otherwise(raw)
-    return per_key.select(key, est.alias("hll_distinct"))
+    extras = [c for c in per_key.columns
+              if c not in ks + ["z_present", "nb"]]
+    return per_key.select(*ks, est.alias("hll_distinct"), *extras)
 
 
 def hll_estimate(df: DataFrame, key: str, value: str,

@@ -117,3 +117,57 @@ def trap_filter(frontier: DataFrame, traps: DataFrame,
                  "left_anti")
            .drop("_tmpl"))
     return out
+
+
+def trap_profile_state(urls: DataFrame, url_col: str = "url",
+                       m: int = 64) -> DataFrame:
+    """The sketch-backed family profile at REGISTER grain — one row per
+    (host, template, bucket) carrying the HLL register (max rho over
+    that bucket's URL hashes) plus the monotone companions max depth /
+    max params. Every aggregate is a max, so this frame is the WHOLE
+    state of continuous trap detection and is monotone-mergeable: the
+    streaming twin (streaming/traps.py) runs this exact groupBy in
+    update mode, and an at-least-once sink merging by max is
+    exactly-once for the profile."""
+    from axora_spark.functions.sketch import hll_rho_cols
+    bucket, rho = hll_rho_cols("_u", m)
+    sigs = urls.select(*url_signature_cols(F.col(url_col)),
+                       F.col(url_col).alias("_u"))
+    return (sigs
+            .select("host", "template", "depth", "n_params",
+                    bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("host", "template", "bucket")
+            .agg(F.max("rho").alias("m_reg"),
+                 F.max("depth").alias("max_depth"),
+                 F.max("n_params").alias("max_params")))
+
+
+def detect_traps_from_state(state: DataFrame, min_urls: int = 64,
+                            max_depth: int = 8, max_params: int = 3,
+                            m: int = 64) -> DataFrame:
+    """Finalize a (possibly streamed-and-merged) trap-profile state into
+    flagged families — read-side math over <= m rows per family. Same
+    rules as detect_traps, with the HLL estimate as the volume signal
+    (rounded down: a >= threshold on a fractional estimate)."""
+    from axora_spark.functions.sketch import hll_finalize
+    prof = hll_finalize(state, ["host", "template"], m,
+                        extra_aggs=[F.max("max_depth").alias("max_depth"),
+                                    F.max("max_params").alias("max_params")])
+    prof = (prof
+            .withColumn("n_urls", F.floor("hll_distinct").cast("long"))
+            .withColumn("n_num_segs",
+                        F.size(F.split(F.col("template"), "/N", -1)) - 1))
+    volume = F.col("n_urls") >= min_urls
+    deep = F.col("max_depth") >= max_depth
+    params = F.col("max_params") >= max_params
+    calendar = F.col("n_num_segs") >= 3
+    reasons = F.concat_ws(
+        ",",
+        F.when(volume, F.lit("volume")),
+        F.when(calendar, F.lit("calendar")),
+        F.when(deep, F.lit("depth")),
+        F.when(params, F.lit("params")))
+    return (prof.withColumn("reasons", reasons)
+            .filter(volume & (deep | params | calendar))
+            .select("host", "template", "n_urls", "max_depth",
+                    "max_params", "n_num_segs", "reasons"))

@@ -165,3 +165,44 @@ def test_trap_approx_agrees_with_exact_on_families(spark):
                                     **kw).collect()}
     assert set(exact) == set(approx)  # same families flagged
     assert exact == approx            # same reasons at these margins
+
+
+def test_streaming_trap_state_matches_batch(spark, tmp_path):
+    # the profile state is all max-aggregates — streamed in single-file
+    # micro-batches + finalize must equal the one-shot batch profile
+    # BIT FOR BIT, and agree with exact detection on flagged families
+    from pyspark.sql import types as T
+    from axora_spark.operators.traps import (detect_traps,
+                                             detect_traps_from_state,
+                                             trap_profile_state)
+    from axora_spark.streaming.traps import trap_state_stream
+
+    urls = ([f"https://t.example.com/cal/2025/{m}/{d}"
+             for m in range(1, 13) for d in range(1, 8)]
+            + [f"https://t.example.com/article/{i}" for i in range(80)]
+            + [f"https://t.example.com/p?session={i}&sort=0&ref=1"
+               for i in range(70)])
+    batch = _urls(spark, urls)
+    src = str(tmp_path / "urls")
+    batch.repartition(8).write.parquet(src)
+
+    stream = (spark.readStream.format("parquet")
+              .schema(T.StructType([T.StructField("url", T.StringType())]))
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = (trap_state_stream(stream).writeStream
+         .outputMode("complete").format("memory")
+         .queryName("trap_state").start())
+    q.processAllAvailable()
+    q.stop()
+    kw = dict(min_urls=60, max_depth=8, max_params=3)
+    streamed = {(r["host"], r["template"]): (r["n_urls"], r["reasons"])
+                for r in detect_traps_from_state(
+                    spark.sql("select * from trap_state"), **kw).collect()}
+    want = {(r["host"], r["template"]): (r["n_urls"], r["reasons"])
+            for r in detect_traps_from_state(
+                trap_profile_state(batch), **kw).collect()}
+    assert streamed == want  # micro-batch-slicing invariant
+    exact = {(r["host"], r["template"]) for r in
+             detect_traps(batch, **kw).collect()}
+    assert set(streamed) == exact  # sketch volume agrees at this margin
+    assert ("t.example.com", "/cal/N/N/N") in streamed
