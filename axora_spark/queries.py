@@ -3463,7 +3463,11 @@ def q_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = e if edges is None else edges.unionByName(e)
     mapping = ids.select("doc_id", (F.col("doc_id") % _HR_HOSTS)
                          .alias("grp"))
-    hedges = coarsen_edges(edges, mapping)
+    # the rank operator derives BOTH its static frames (weighted edges,
+    # dangling set) from the coarsened graph — without this checkpoint
+    # the corpus-scale coarsening join+count runs once per derivation
+    # (the q_pagerank 10.3→3.9s lesson applied one level up)
+    hedges = coarsen_edges(edges, mapping).localCheckpoint(eager=False)
     hnodes = (ids.select((F.col("doc_id") % _HR_HOSTS).alias("doc_id"))
               .distinct())
     ranks = pagerank_weighted(hedges, hnodes, iters=_PR_ITERS,

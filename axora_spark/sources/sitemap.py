@@ -167,3 +167,52 @@ def sitemap_seed_frontier(spark: SparkSession, cfg, entries: DataFrame
         df.withColumn("depth", F.lit(1))
           .withColumn("url_hash", url_hash(F.col("url")))
           .withColumn("discovered_wave", F.lit(0)))
+
+
+def sitemap_revisit(cfg, entries: DataFrame, stored: DataFrame
+                    ) -> DataFrame:
+    """The sitemap→freshness bridge: a site's <lastmod> is a DECLARED
+    change signal, so revisit decisions need no estimator
+    (operators/recrawl.py covers hosts that don't publish one).
+
+    entries: expand_sitemaps output. stored: (url, fetched_lastmod) —
+    the lastmod recorded when the engine last fetched each URL (null =
+    fetched before lastmod tracking, or the site omitted it then).
+    Returns frontier rows for exactly the entries that are NEW (no
+    stored row) or CHANGED (declared lastmod strictly newer than the
+    stored one; entries with an unparseable/absent lastmod on a stored
+    URL are trusted unchanged — re-fetching the whole inventory every
+    cycle is the failure mode this operator exists to avoid).
+
+    Scale: one hash join on url (|sitemap| × |seen| keyed join, both
+    sides already URL-keyed) + the same filter/dedup pipeline as
+    sitemap_seed_frontier. Priorities carry the site's declared
+    <priority> so politeness admits important stale pages first."""
+    from axora_spark.operators.filters import apply_frontier_filters
+    from axora_spark.operators.frontier import dedup_within_wave
+    from axora_spark.operators.urls import (canonicalize_udf, host_col,
+                                            url_hash)
+    # a stored row with a null fetched_lastmod must still count as
+    # "stored" — the _stored marker distinguishes no-row from null-value
+    df = (entries
+          .withColumn("url", canonicalize_udf(F.col("loc")))
+          .filter(F.col("url") != "")
+          .join(stored.select("url",
+                              F.col("fetched_lastmod"),
+                              F.lit(True).alias("_stored")),
+                "url", "left"))
+    new = F.col("_stored").isNull()
+    changed = (F.to_timestamp("lastmod").isNotNull()
+               & F.col("fetched_lastmod").isNotNull()
+               & (F.to_timestamp("lastmod")
+                  > F.to_timestamp("fetched_lastmod")))
+    df = (df.filter(new | changed)
+          .withColumn("host", host_col(F.col("url")))
+          .select("url", "host",
+                  F.coalesce(F.col("priority"), F.lit(0.5))
+                  .alias("priority")))
+    df = apply_frontier_filters(df, cfg)
+    return dedup_within_wave(
+        df.withColumn("depth", F.lit(1))
+          .withColumn("url_hash", url_hash(F.col("url")))
+          .withColumn("discovered_wave", F.lit(0)))

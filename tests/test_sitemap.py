@@ -162,3 +162,34 @@ def test_robots_sitemap_autodiscovery(spark):
     got = expand_sitemaps(spark, rules.sitemaps, _transport(files))
     assert {r["loc"] for r in got.collect()} == \
         {"https://s.example.com/a", "https://s.example.com/b"}
+
+
+def test_sitemap_revisit_lastmod_bridge(spark):
+    # declared-freshness revisit: NEW and lastmod-newer entries re-enter
+    # the frontier; unchanged, older, and undeclared-on-stored entries
+    # don't (re-fetching the whole inventory is the failure mode)
+    from axora_spark.config import CrawlConfig
+    from axora_spark.sources.sitemap import ENTRY, sitemap_revisit
+    from pyspark.sql import types as T
+    cfg = CrawlConfig(seeds=(), allowed_domains=("s.example.com",))
+    schema = T.StructType([T.StructField("sitemap_url", T.StringType())]
+                          + list(ENTRY.fields))
+    entries = spark.createDataFrame([
+        ("sm", "https://s.example.com/new", "2026-08-01", None, 0.9),
+        ("sm", "https://s.example.com/changed", "2026-08-10", None, None),
+        ("sm", "https://s.example.com/same", "2026-07-01", None, 0.8),
+        ("sm", "https://s.example.com/older", "2026-06-01", None, 0.8),
+        ("sm", "https://s.example.com/nodate", None, None, 0.8),
+        ("sm", "https://s.example.com/nodate_new", None, None, 0.7),
+    ], schema)
+    stored = spark.createDataFrame([
+        ("https://s.example.com/changed", "2026-08-01"),
+        ("https://s.example.com/same", "2026-07-01"),
+        ("https://s.example.com/older", "2026-07-01"),
+        ("https://s.example.com/nodate", None),
+    ], "url string, fetched_lastmod string")
+    got = {r["url"]: r["priority"] for r in
+           sitemap_revisit(cfg, entries, stored).collect()}
+    assert got == {"https://s.example.com/new": 0.9,
+                   "https://s.example.com/changed": 0.5,
+                   "https://s.example.com/nodate_new": 0.7}
