@@ -131,3 +131,48 @@ def test_recrawl_plan_single_keyed_exchange(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
     assert "BroadcastExchange" not in final
+
+
+def test_revisit_session_through_run_crawl(spark):
+    # full loop: estimate staleness from an observation log, build the
+    # revisit frontier, and run it as a crawl session via the
+    # initial_frontier seam — the politeness scheduler must admit the
+    # stale set (and only it) in staleness order, through the catalog
+    import tempfile
+    from axora_spark import schemas
+    from axora_spark.catalog import SnapshotCatalog
+    from axora_spark.config import CrawlConfig
+    from axora_spark.plans import crawl
+
+    urls = [f"https://r.example.com/p/{i}" for i in range(6)]
+    # p0,p1 changed on every revisit; p2,p3 never changed; p4 observed
+    # once (staleness 1.0); p5 unchanged
+    log = []
+    for w in (0, 2, 4, 6):
+        for i in (0, 1):
+            log.append((urls[i], w, f"v{i}.{w}"))
+        for i in (2, 3, 5):
+            log.append((urls[i], w, f"s{i}"))
+    log.append((urls[4], 6, "x"))
+    obs = spark.createDataFrame(log, "url string, wave int, "
+                                     "content_hash string")
+    fr = revisit_frontier(estimate_change_rate(obs, now_wave=8),
+                          min_staleness=0.5)
+    fr = fr.withColumn("depth", F.lit(1)) \
+           .withColumn("discovered_wave", F.lit(0)) \
+           .withColumn("status", F.lit("pending"))
+    cfg = CrawlConfig(seeds=(), allowed_domains=("r.example.com",),
+                      max_depth=1, max_waves=2,
+                      per_host_parallelism=3, per_host_delay_s=5.0,
+                      wave_seconds=5.0)  # budget 3/host/wave
+    corpus = spark.createDataFrame(
+        [{"url": u, "host": "r.example.com", "title": None,
+          "metas": None, "body_md": "x", "out_links": []}
+         for u in urls], schemas.LINK_GRAPH)
+    cat = SnapshotCatalog(tempfile.mkdtemp())
+    crawl.run_crawl(spark, cat, cfg, corpus, initial_frontier=fr)
+    adm = [(r["wave"], r["rank"], r["url"]) for r in
+           cat.read(spark, "admitted").orderBy("wave", "rank").collect()]
+    # stale set = p4 (1.0) then p0/p1 (equal staleness, url tie-break);
+    # budget 3 admits all three in wave 0; fresh pages never crawled
+    assert adm == [(0, 1, urls[4]), (0, 2, urls[0]), (0, 3, urls[1])]
