@@ -3512,6 +3512,64 @@ SELECT host, round(r, 6) AS rank FROM {prev}"""
 SQL_HOSTRANK = _hostrank_sql()
 
 
+# Cross-host mirror detection (operators/mirrors.py).
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host pairs serving the same content (operators/mirrors.py;
+    Bharat & Broder WWW 1999) — the crawl-once-skip-the-mirror signal.
+    Synthesis: six hosts; h0/h1 syndicate 3/4 of their articles to each
+    other (shared fp 'm' keys, every 4th exclusive), h2/h3 mirror
+    completely at half cadence ('p' keys), h4/h5 publish unique
+    content. The detector must report exactly (h0,h1) at ratio≈0.75 and
+    (h2,h3) at ratio 1.0.
+
+    Scale shape: (host, fp) dedup agg → per-fingerprint SORTED host
+    list capped at max_hosts_per_fp (boilerplate guard — no hot
+    fingerprint can explode the pair fan-out) → bounded pair explode →
+    keyed pair count. The oracle's plain self-join states the same
+    semantics (cap non-binding at two hosts per fingerprint)."""
+    from axora_spark.operators.mirrors import detect_mirrors
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    grp6 = F.expr("doc_id div 6")
+    grp12 = F.expr("doc_id div 12")
+    fp = (F.when((d % 6 < 2) & (grp6 % 4 != 0),
+                 F.concat(F.lit("m"), s(grp6)))
+          .when((d % 6 >= 2) & (d % 6 < 4),
+                F.concat(F.lit("p"), s(grp12)))
+          .otherwise(F.concat(F.lit("u"), s(d))))
+    hf = docs.select(F.concat(F.lit("h"), s(d % 6)).alias("host"),
+                     fp.alias("fingerprint"))
+    return detect_mirrors(hf, min_shared=8, min_ratio=0.5)
+
+
+SQL_MIRROR_HOSTS = """
+WITH d AS (
+  SELECT DISTINCT 'h' || (doc_id % 6) AS host,
+    CASE
+      WHEN doc_id % 6 < 2 AND (doc_id // 6) % 4 <> 0
+        THEN 'm' || (doc_id // 6)
+      WHEN doc_id % 6 >= 2 AND doc_id % 6 < 4
+        THEN 'p' || (doc_id // 12)
+      ELSE 'u' || doc_id
+    END AS fp
+  FROM documents),
+ph AS (SELECT host, count(*) AS n FROM d GROUP BY host),
+pr AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM d a JOIN d b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2)
+SELECT host_a, host_b, shared, na.n AS n_a, nb.n AS n_b,
+       round(shared * 1e0 / least(na.n, nb.n), 6) AS ratio
+FROM pr
+JOIN ph na ON pr.host_a = na.host
+JOIN ph nb ON pr.host_b = nb.host
+WHERE shared >= 8 AND shared * 1e0 / least(na.n, nb.n) >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3583,6 +3641,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "anchor_text": q_anchor_text,
     "hostrank": q_hostrank,
+    "mirror_hosts": q_mirror_hosts,
 }
 
 ORACLES = {
@@ -3652,4 +3711,5 @@ ORACLES = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "anchor_text": SQL_ANCHOR_TEXT,
     "hostrank": SQL_HOSTRANK,
+    "mirror_hosts": SQL_MIRROR_HOSTS,
 }

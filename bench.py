@@ -53,7 +53,7 @@ HEADLINE = [
     "retention_cohorts", "moving_window", "rollup_orders",
     "cube_events", "value_percentiles",
     "recrawl_schedule", "trap_detection", "source_overlap", "anchor_text",
-    "hostrank",
+    "hostrank", "mirror_hosts",
 ]
 
 CRAWL_FRONTIER_N = int(os.environ.get("AXORA_BENCH_FRONTIER_N", 2_000_000))
