@@ -44,6 +44,28 @@ def with_url_signature(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.select("*", *url_signature_cols(F.col(url_col)))
 
 
+
+def _flag_families(prof, min_urls: int, max_depth: int,
+                   max_params: int):
+    """Shared rule evaluation over a (host, template, n_urls, max_depth,
+    max_params, n_num_segs) profile — ONE definition so the exact,
+    approx, and sketch-state forms cannot drift."""
+    volume = F.col("n_urls") >= min_urls
+    deep = F.col("max_depth") >= max_depth
+    params = F.col("max_params") >= max_params
+    calendar = F.col("n_num_segs") >= 3
+    reasons = F.concat_ws(
+        ",",
+        F.when(volume, F.lit("volume")),
+        F.when(calendar, F.lit("calendar")),
+        F.when(deep, F.lit("depth")),
+        F.when(params, F.lit("params")))
+    return (prof.withColumn("reasons", reasons)
+            .filter(volume & (deep | params | calendar))
+            .select("host", "template", "n_urls", "max_depth",
+                    "max_params", "n_num_segs", "reasons"))
+
+
 def detect_traps(urls: DataFrame, url_col: str = "url",
                  min_urls: int = 64, max_depth: int = 8,
                  max_params: int = 3, exact: bool = True) -> DataFrame:
@@ -83,21 +105,7 @@ def detect_traps(urls: DataFrame, url_col: str = "url",
                  F.max("n_params").alias("max_params"))
             .withColumn("n_num_segs",
                         F.size(F.split(F.col("template"), "/N", -1)) - 1))
-    volume = F.col("n_urls") >= min_urls
-    deep = F.col("max_depth") >= max_depth
-    params = F.col("max_params") >= max_params
-    calendar = F.col("n_num_segs") >= 3
-    reasons = F.concat_ws(
-        ",",
-        F.when(volume, F.lit("volume")),
-        F.when(calendar, F.lit("calendar")),
-        F.when(deep, F.lit("depth")),
-        F.when(params, F.lit("params")))
-    return (prof
-            .withColumn("reasons", reasons)
-            .filter(volume & (deep | params | calendar))
-            .select("host", "template", "n_urls", "max_depth",
-                    "max_params", "n_num_segs", "reasons"))
+    return _flag_families(prof, min_urls, max_depth, max_params)
 
 
 def trap_filter(frontier: DataFrame, traps: DataFrame,
@@ -157,17 +165,4 @@ def detect_traps_from_state(state: DataFrame, min_urls: int = 64,
             .withColumn("n_urls", F.floor("hll_distinct").cast("long"))
             .withColumn("n_num_segs",
                         F.size(F.split(F.col("template"), "/N", -1)) - 1))
-    volume = F.col("n_urls") >= min_urls
-    deep = F.col("max_depth") >= max_depth
-    params = F.col("max_params") >= max_params
-    calendar = F.col("n_num_segs") >= 3
-    reasons = F.concat_ws(
-        ",",
-        F.when(volume, F.lit("volume")),
-        F.when(calendar, F.lit("calendar")),
-        F.when(deep, F.lit("depth")),
-        F.when(params, F.lit("params")))
-    return (prof.withColumn("reasons", reasons)
-            .filter(volume & (deep | params | calendar))
-            .select("host", "template", "n_urls", "max_depth",
-                    "max_params", "n_num_segs", "reasons"))
+    return _flag_families(prof, min_urls, max_depth, max_params)
