@@ -97,6 +97,7 @@ def init_tables(catalog: SnapshotCatalog) -> None:
     catalog.create_table("metrics", schemas.METRICS)
     catalog.create_table("links", schemas.LINKS)
     catalog.create_table("ranks", schemas.RANKS)
+    catalog.create_table("trap_state", schemas.TRAP_STATE)
 
 
 def _record_lineage(spark: SparkSession, catalog: SnapshotCatalog, wave: int,
@@ -419,22 +420,33 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                          .select("host"))
             nxt = nxt.join(F.broadcast(exhausted), "host", "left_anti")
         if cfg.trap_detect:
-            # statistical crawl-trap pruning (operators/traps.py): profile
-            # (host, path-template) families over everything the session
-            # has seen OR is about to schedule, and drop frontier URLs in
-            # pathological families. detect_traps is one keyed aggregate
-            # over seen∪frontier; the gate itself broadcasts the tiny
-            # signature table — per-wave cost is a scan the seen
-            # anti-join above already pays
-            from axora_spark.operators.traps import detect_traps, trap_filter
-            sig_src = (catalog.read(spark, "seen").select("url")
-                       .unionByName(nxt.select("url")))
-            # exact=False: the volume signal tolerates HLL++ error and
-            # the approx form is ONE exchange of sketch rows instead of
-            # a full (host, template, url) shuffle of seen∪frontier
-            traps = detect_traps(sig_src, min_urls=cfg.trap_min_urls,
-                                 max_depth=cfg.trap_max_path_depth,
-                                 exact=False)
+            # statistical crawl-trap pruning, INCREMENTAL (operators/
+            # traps.py): the family profile lives in the catalog as a
+            # mergeable state table at (host, template, bucket) register
+            # grain. Per wave we profile ONLY this wave's URLs (admitted
+            # + newly discovered — together they cover seeds and every
+            # frontier row over the session), max-merge into the state
+            # (idempotent under crash replay — every column is a max),
+            # and flag families on read. Cost per wave scales with the
+            # WAVE, never with the accumulated 10^10-row seen table the
+            # old full-rescan form re-profiled each time; the gate
+            # itself broadcasts the tiny flagged-family table.
+            from axora_spark.operators.traps import (
+                detect_traps_from_state, trap_filter, trap_profile_state)
+            wave_urls = (admitted.select("url")
+                         .unionByName(nxt.select("url")))
+            new_prof = trap_profile_state(wave_urls)
+            old_prof = catalog.read(spark, "trap_state")
+            merged = (old_prof.unionByName(new_prof)
+                      .groupBy("host", "template", "bucket")
+                      .agg(F.max("m_reg").alias("m_reg"),
+                           F.max("max_depth").alias("max_depth"),
+                           F.max("max_params").alias("max_params")))
+            catalog.overwrite(spark, "trap_state", merged)
+            traps = detect_traps_from_state(
+                catalog.read(spark, "trap_state"),
+                min_urls=cfg.trap_min_urls,
+                max_depth=cfg.trap_max_path_depth)
             nxt = trap_filter(nxt, traps)
         sid_links = None
         sid_ranks = None

@@ -38,6 +38,20 @@ RANKS = T.StructType([
     T.StructField("rank", T.DoubleType(), False),
 ])
 
+# Continuous trap-detection state (cfg.trap_detect): the family profile
+# at (host, template, bucket) register grain — every column is a max,
+# so per-wave merge (union + groupBy max) is idempotent under replay;
+# deliberately OUTSIDE crash rollback (a superset state only re-flags
+# the same families, and replayed waves re-derive identical rows)
+TRAP_STATE = T.StructType([
+    T.StructField("host", T.StringType(), True),
+    T.StructField("template", T.StringType(), True),
+    T.StructField("bucket", T.LongType(), False),
+    T.StructField("m_reg", T.IntegerType(), False),
+    T.StructField("max_depth", T.IntegerType(), False),
+    T.StructField("max_params", T.IntegerType(), False),
+])
+
 # Admission log: the deterministic crawl order (W4)
 ADMITTED = T.StructType([
     T.StructField("wave", T.IntegerType(), False),

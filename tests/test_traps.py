@@ -206,3 +206,21 @@ def test_streaming_trap_state_matches_batch(spark, tmp_path):
              detect_traps(batch, **kw).collect()}
     assert set(streamed) == exact  # sketch volume agrees at this margin
     assert ("t.example.com", "/cal/N/N/N") in streamed
+
+
+def test_trap_state_merge_idempotent(spark):
+    # crash-replay safety: re-merging a wave's profile into a state that
+    # already contains it must be a no-op (every column is a max)
+    from pyspark.sql import functions as F
+    from axora_spark.operators.traps import trap_profile_state
+    urls = _urls(spark, [f"https://t.example.com/cal/2025/1/{d}"
+                         for d in range(25)])
+    state = trap_profile_state(urls)
+    def merge(a, b):
+        return (a.unionByName(b).groupBy("host", "template", "bucket")
+                .agg(F.max("m_reg").alias("m_reg"),
+                     F.max("max_depth").alias("max_depth"),
+                     F.max("max_params").alias("max_params")))
+    once = {tuple(r) for r in state.collect()}
+    twice = {tuple(r) for r in merge(state, state).collect()}
+    assert once == twice
