@@ -2192,6 +2192,119 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# CCNet-style LM filtering (Wenzek et al., LREC 2020): score every
+# document by the perplexity of a corpus-trained n-gram LM, then keep
+# the low-perplexity head/middle terciles. The production CCNet model
+# is KenLM (unavailable in this sandbox); the operator trains an add-α
+# bigram LM on the corpus itself — fully deterministic, so the score
+# is oracle-verifiable bit-for-bit, and the PLAN (the part that has to
+# survive 100 TB) is identical to the KenLM form: a model table joined
+# by key, never broadcast, never a Python UDF.
+_LM_ALPHA = 0.5  # add-α smoothing; exact in doubles (integer + 0.5)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM cross-entropy (nats/bigram) + per-source
+    CCNet tercile split: tercile 1 = lowest-perplexity head, keep =
+    head ∪ middle (Wenzek et al. 2020 §4.3 keep the head+middle of the
+    perplexity distribution; tail is the noise bucket).
+
+    Model: P(w2|w1) = (c(w1 w2) + α) / (c(w1) + α·V), α = 0.5,
+    V = distinct context types — trained on the same corpus it scores
+    (the driver-table analog of CCNet's LM; the two-corpus form is the
+    same plan with the model aggregated from the other table).
+
+    Scale shape (the tfidf_top_terms lesson applied to an LM): the
+    token stream collapses to per-doc bigram TYPE counts in ONE keyed
+    aggregation — the only token-volume exchange in the job. The model
+    (c12, c1, V) derives from THAT aggregate's output (type-level, not
+    token-level), the scored join is per-doc-type ⋈ model on
+    (w1, w2) — the model/vocabulary is unbounded at web scale and is
+    NEVER broadcast — and the per-doc reduce is
+    Σ cnt·(-ln P) / Σ cnt, algebraically equal to the token-stream
+    mean without re-touching token rows. The tercile split is ntile(3)
+    per source over DOC-level rows ordered by (round(nats,9), doc_id)
+    — rank-based, so engines' 1-ulp ln() differences cannot flip a
+    bucket (the politeness float-guard idiom); at production the
+    per-source sort swaps for approx_percentile cutoffs (doc-level
+    rows, 3-4 orders below token volume either way)."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    wd = docs.select("doc_id", "source",
+                     _words_col(F.lower(F.col("text"))).alias("w"))
+    n = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = F.zip_with(F.slice(F.col("w"), F.lit(1), n),
+                       F.slice(F.col("w"), F.lit(2), n),
+                       lambda a, b: F.struct(a.alias("w1"),
+                                             b.alias("w2")))
+    bg = (wd.select("doc_id", "source", F.explode(pairs).alias("p"))
+          .select("doc_id", "source", "p.w1", "p.w2"))
+    # per-doc bigram-type counts: the ONE token-level exchange; feeds
+    # both the model aggregation and the scored join (branches don't
+    # bridge via exchange reuse — materialize once, the tfidf lesson)
+    tf = (bg.groupBy("doc_id", "source", "w1", "w2")
+          .agg(F.count("*").alias("cnt"))
+          .localCheckpoint(eager=False))
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
+    # SHUFFLE_HASH pins: vocabulary-keyed tables are unbounded at web
+    # scale — sandbox stats would broadcast c1 and even tf, exactly the
+    # plan that dies at 100 TB. The only broadcast is the 1-row V.
+    model = (c12.join(c1.hint("shuffle_hash"), "w1")
+             .crossJoin(F.broadcast(v))
+             .withColumn("nats",
+                         -F.log((F.col("c12") + _LM_ALPHA)
+                                / (F.col("c1")
+                                   + _LM_ALPHA * F.col("v")))))
+    doc = (tf.join(model.select("w1", "w2", "nats").hint("shuffle_hash"),
+                   ["w1", "w2"])
+           .groupBy("doc_id", "source")
+           .agg(F.sum("cnt").alias("n_bigrams"),
+                (F.sum(F.col("cnt") * F.col("nats"))
+                 / F.sum("cnt")).alias("nats_raw")))
+    win = (Window.partitionBy("source")
+           .orderBy(F.round("nats_raw", 9), F.col("doc_id")))
+    return (doc.withColumn("tercile", F.ntile(3).over(win))
+            .select("doc_id", "source", "n_bigrams",
+                    F.round("nats_raw", 6).alias("nats"), "tercile",
+                    (F.col("tercile") <= 2).alias("keep")))
+
+
+_LM_WORDS_SQL = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
+
+SQL_LM_PERPLEXITY = f"""
+WITH wd AS (
+  SELECT doc_id, source, {_LM_WORDS_SQL} AS w FROM documents),
+bg AS (
+  SELECT doc_id, source,
+         unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+         unnest(list_slice(w, 2, len(w))) AS w2
+  FROM wd),
+tf AS (
+  SELECT doc_id, source, w1, w2, count(*) AS cnt
+  FROM bg GROUP BY 1, 2, 3, 4),
+c12 AS (SELECT w1, w2, sum(cnt) AS c12 FROM tf GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT count(*) AS v FROM c1),
+doc AS (
+  SELECT tf.doc_id, tf.source,
+         CAST(sum(tf.cnt) AS BIGINT) AS n_bigrams,
+         sum(tf.cnt * -ln((c12.c12 + {_LM_ALPHA})
+                          / (c1.c1 + {_LM_ALPHA} * v.v)))
+           / sum(tf.cnt) AS nats_raw
+  FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY 1, 2),
+b AS (
+  SELECT doc_id, source, n_bigrams, nats_raw,
+         ntile(3) OVER (PARTITION BY source
+                        ORDER BY round(nats_raw, 9), doc_id) AS tercile
+  FROM doc)
+SELECT doc_id, source, n_bigrams, round(nats_raw, 6) AS nats,
+       tercile, tercile <= 2 AS keep
+FROM b
+"""
+
+
 def _page_lines(words: Column, doc_id: Column) -> Column:
     """Deterministically lay the word stream out as pseudo-lines (10 words
     per line, bullet prefix on every 3rd line, ellipsis/period suffix on a
@@ -3616,6 +3729,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "c4_line_filters": q_c4_line_filters,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "lm_perplexity": q_lm_perplexity,
     "pipeline_funnel": q_pipeline_funnel,
     "sha256_hash": q_sha256,
     "interleaved_spans": q_interleaved_spans,
@@ -3686,6 +3800,7 @@ ORACLES = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "c4_line_filters": SQL_C4_LINE_FILTERS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "sha256_hash": SQL_SHA256,
     "interleaved_spans": SQL_INTERLEAVED_SPANS,

@@ -26,7 +26,8 @@ SUBSET = ["frontier_filters", "politeness_rank", "quality_scores",
           "html_main_md", "ngram_jaccard", "robots_gate", "pii_mask",
           "dedup_clusters", "gopher_quality", "c4_line_filters",
           "tfidf_top_terms", "url_canonicalize", "chunk_markdown",
-          "contamination", "mix_sample", "pagerank", "hll_distinct"]
+          "contamination", "mix_sample", "pagerank", "hll_distinct",
+          "lm_perplexity"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

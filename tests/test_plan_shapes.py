@@ -412,3 +412,19 @@ def test_duplicate_passages_hash_keyed_gram_shuffle(spark):
     # (doc_id, island) aggregate all run inside it
     assert len(re.findall(
         r"hashpartitioning\(doc_id#\d+L?, \d+\)", final)) == 1
+
+
+def test_lm_perplexity_no_vocab_broadcast(spark):
+    # the LM tables (c12 on (w1,w2), c1 on w1) and the per-doc-type
+    # table are vocabulary-/corpus-sized at web scale: both model joins
+    # must stay SHUFFLE_HASH; the ONLY broadcast is the 1-row V scalar
+    # (sandbox stats would happily broadcast c1 — and even tf — which
+    # is exactly the plan that dies at 100 TB)
+    import re
+    from axora_spark.queries import q_lm_perplexity
+    plan = _physical(q_lm_perplexity(spark, SF))
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"ShuffledHashJoin", final)) == 2
+    assert "BroadcastHashJoin" not in final
+    # the V cross join broadcasts exactly one aggregated row
+    assert final.count("BroadcastNestedLoopJoin") == 1
