@@ -116,6 +116,23 @@ class CrawlConfig:
                                     # the volume signal fires
     trap_max_path_depth: int = 8    # path-SEGMENT depth signal (not
                                     # the link-hop max_depth above)
+    adaptive_politeness: bool = False  # latency-adaptive per-host budgets
+                                    # (operators/adaptive.py, the Heritrix
+                                    # delay-factor analog): EWMA the
+                                    # crawl's own per-host fetch latency
+                                    # into delay = max(delay_factor·est,
+                                    # per_host_delay_s) and derive next
+                                    # wave's budget from THAT delay —
+                                    # slow hosts throttle, the static
+                                    # budget stays the ceiling. Requires
+                                    # the fetched frame to carry a
+                                    # fetch_ms column (real transports
+                                    # measure it; fixture corpora may
+                                    # declare it); waves/hosts without
+                                    # observations use the static budget
+    adaptive_delay_factor: float = 2.0  # politeness delay as a multiple
+                                    # of observed latency (Heritrix's
+                                    # delayFactor default)
     seen_bloom_fpp: float = 0.01
     hot_host_salt: int = 8          # salt shards for skewed hosts (W1)
 

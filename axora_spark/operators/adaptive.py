@@ -1,0 +1,113 @@
+"""Latency-adaptive politeness budgets (the Heritrix delay-factor
+analog; IRLbot budgets slow hosts the same way).
+
+The reference fixes Delay=5s for EVERY host (crawler/crawler.go:87-92).
+A web-scale session cannot: politeness delay should track what the host
+can actually serve — Heritrix waits ``delayFactor × last fetch
+duration``; a fixed delay either hammers slow hosts or starves fast
+ones. This module derives a per-host per-wave COUNT budget (the
+deterministic closure of time-based politeness, config.py) from the
+crawl's own fetch-latency observations:
+
+    est_0  = prior_ms
+    est   <- (1-alpha) * est + alpha * mean_ms(wave)      (wave order)
+    delay  = max(delay_factor * est, min_delay_ms)
+    budget = clamp(floor(num_ms / delay), min_budget, max_budget)
+
+The EWMA is expressed CLOSED-FORM so the whole computation is one
+declarative plan (no driver fixpoint):
+
+    est = (1-alpha)^n * prior + sum_i alpha * (1-alpha)^{k_i} * mean_i
+
+with ``k_i`` = number of observed waves after wave i. alpha = 0.5 keeps
+every weight an exact power of two; a power-of-two multiply only
+shifts the exponent, so on integer-millisecond fixtures the engine,
+the DuckDB oracle and the pure-Python crawl oracle agree bit-for-bit
+regardless of summation order.
+
+Scale shape: input is the (host, wave, sum_ms, n) state table the
+crawl maintains — host × wave grain, NOT per-URL (the wave loop
+pre-aggregates map-side before appending, so the table grows by
+#hosts-fetched rows per wave however many URLs were fetched). One
+host-keyed exchange is shared by the ranking window and the EWMA
+aggregate; output is one row per observed host — the same cardinality
+class as the robots-rules table, broadcast into W1's admit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def observe_fetches(fetched: DataFrame, wave: int) -> DataFrame:
+    """(host, wave, sum_ms, n) partial-aggregate rows for one wave's
+    fetches — only rows that carry a latency observation count. This is
+    the map-side collapse: per-URL latency never reaches the state
+    table."""
+    return (fetched
+            .filter(F.col("fetch_ms").isNotNull())
+            .groupBy("host")
+            .agg(F.sum("fetch_ms").cast("long").alias("sum_ms"),
+                 F.count("*").alias("n"))
+            .select("host", F.lit(wave).alias("wave"), "sum_ms", "n"))
+
+
+def _budget_col(est: Column, num_ms: float, delay_factor: float,
+                min_delay_ms: float, min_budget: int,
+                max_budget: int | None) -> Column:
+    delay = F.greatest(est * F.lit(delay_factor), F.lit(min_delay_ms))
+    b = F.floor(F.lit(num_ms) / delay)
+    b = F.greatest(F.lit(min_budget).cast("long"), b)
+    if max_budget is not None:
+        b = F.least(F.lit(max_budget).cast("long"), b)
+    return b.cast("int")
+
+
+def latency_budgets(obs: DataFrame, num_ms: float,
+                    delay_factor: float = 2.0, alpha: float = 0.5,
+                    prior_ms: float = 2500.0, min_delay_ms: float = 100.0,
+                    min_budget: int = 1,
+                    max_budget: int | None = None) -> DataFrame:
+    """(host, n_waves, est_ms, _budget) from the fetch-observation state
+    table. ``num_ms`` is the budget numerator — parallelism ×
+    wave_seconds × 1000 under the config closure. Hosts absent from
+    `obs` are absent from the output (they use the caller's default)."""
+    mw = (obs.groupBy("host", "wave")
+          .agg((F.sum("sum_ms") / F.sum("n")).alias("mw")))
+    w = Window.partitionBy("host").orderBy(F.desc("wave"))
+    ranked = mw.withColumn("_k", F.row_number().over(w) - 1)
+    est = (ranked.groupBy("host")
+           .agg((F.sum(F.col("mw") * F.lit(alpha)
+                       * F.pow(F.lit(1.0 - alpha), F.col("_k")))
+                 + F.pow(F.lit(1.0 - alpha), F.count("*"))
+                 * F.lit(prior_ms)).alias("est_ms"),
+                F.count("*").alias("n_waves")))
+    return est.select(
+        "host", "n_waves", "est_ms",
+        _budget_col(F.col("est_ms"), num_ms, delay_factor, min_delay_ms,
+                    min_budget, max_budget).alias("_budget"))
+
+
+def latency_budget_py(means: list[tuple[int, float]], num_ms: float,
+                      delay_factor: float = 2.0, alpha: float = 0.5,
+                      prior_ms: float = 2500.0, min_delay_ms: float = 100.0,
+                      min_budget: int = 1,
+                      max_budget: int | None = None) -> int:
+    """Pure-Python twin of latency_budgets for ONE host — the crawl
+    oracle's mirror (oracle.simulate). `means` = [(wave, mean_ms)].
+    Uses the same closed form (not the fold) so the arithmetic is
+    operation-for-operation identical to the Spark plan."""
+    n = len(means)
+    orderd = sorted(means, key=lambda t: -t[0])
+    est = sum(m * alpha * (1.0 - alpha) ** k
+              for k, (_, m) in enumerate(orderd))
+    est += (1.0 - alpha) ** n * prior_ms
+    delay = max(delay_factor * est, min_delay_ms)
+    b = int(math.floor(num_ms / delay))
+    b = max(min_budget, b)
+    if max_budget is not None:
+        b = min(max_budget, b)
+    return b

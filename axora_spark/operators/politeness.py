@@ -41,7 +41,8 @@ def _order_cols():
 
 def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
           budget_overrides: dict[str, int] | None = None,
-          budget_caps: DataFrame | None = None
+          budget_caps: DataFrame | None = None,
+          budget_frame: DataFrame | None = None
           ) -> tuple[DataFrame, DataFrame]:
     """Split a wave's candidate frontier into (admitted, deferred).
 
@@ -51,6 +52,12 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
     budget_overrides: per-host budget (robots crawl-delay, target mode) —
     a tiny map, broadcast-joined; absent hosts use `host_budget`.
 
+    budget_frame: per-host budget as a (host, _budget) DATAFRAME computed
+    distributed (latency-adaptive politeness, operators/adaptive.py —
+    cardinality = hosts-with-fetch-history, the robots-table class, so
+    broadcast). Precedence: explicit overrides (robots is authoritative)
+    > budget_frame > host_budget default.
+
     The no-override path compares ranks against the LITERAL budget, not
     a `_budget` column: a row_number filter against a foldable constant
     lets Spark insert WindowGroupLimit — a per-partition top-k pruning
@@ -58,16 +65,27 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
     comparison disables it (this was the r2→r3 politeness_rank
     regression: the override plumbing added a constant `_budget` column
     even when no overrides existed; plan-gated now)."""
-    use_cols = bool(budget_overrides) or budget_caps is not None
+    use_cols = bool(budget_overrides) or budget_caps is not None \
+        or budget_frame is not None
+    srcs: list = []
     if budget_overrides:
         spark = frontier.sparkSession
         bdf = spark.createDataFrame(
             [(h, int(b)) for h, b in budget_overrides.items()],
-            "host string, _budget int")
-        frontier = (frontier.join(F.broadcast(bdf), on="host", how="left")
+            "host string, _ovr int")
+        frontier = frontier.join(F.broadcast(bdf), on="host", how="left")
+        srcs.append(F.col("_ovr"))
+    if budget_frame is not None:
+        frontier = frontier.join(
+            F.broadcast(budget_frame
+                        .select("host", F.col("_budget").alias("_abud"))),
+            on="host", how="left")
+        srcs.append(F.col("_abud"))
+    if srcs:
+        frontier = (frontier
                     .withColumn("_budget",
-                                F.coalesce(F.col("_budget"),
-                                           F.lit(host_budget))))
+                                F.coalesce(*srcs, F.lit(host_budget)))
+                    .drop("_ovr", "_abud"))
         budget = F.col("_budget")
     elif use_cols:
         frontier = frontier.withColumn("_budget", F.lit(host_budget))

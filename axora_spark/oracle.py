@@ -138,6 +138,10 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
 
     seen: set[str] = set()
     host_admitted: dict[str, int] = {}  # cumulative (domain_quota)
+    # latency-adaptive politeness twin: host -> [(wave, mean_ms)]
+    lat_obs: dict[str, list[tuple[int, float]]] = {}
+    _adaptive_num_ms = (cfg.per_host_parallelism * cfg.wave_seconds
+                        * 1000.0)
     link_edges: set[tuple[str, str]] = set()  # priority_mode="pagerank"
     ranks_cache: dict[str, float] = {}        # committed rank table twin
     admitted_log: list[tuple[int, str, int, str, int]] = []
@@ -166,7 +170,22 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
         admitted: list[tuple[str, str, int]] = []  # (host, url, rank)
         deferred: dict[str, tuple[int, float, int]] = {}
         for host, urls in by_host.items():
-            budget = budget_override.get(host, cfg.host_budget)
+            # precedence mirrors politeness.admit's coalesce: explicit
+            # robots override > adaptive frame > static default
+            budget = budget_override.get(host)
+            if budget is None and cfg.adaptive_politeness \
+                    and host in lat_obs:
+                from axora_spark.operators.adaptive import \
+                    latency_budget_py
+                budget = latency_budget_py(
+                    lat_obs[host], num_ms=_adaptive_num_ms,
+                    delay_factor=cfg.adaptive_delay_factor,
+                    min_delay_ms=cfg.per_host_delay_s * 1000.0,
+                    prior_ms=cfg.per_host_delay_s * 1000.0
+                    / cfg.adaptive_delay_factor,
+                    max_budget=cfg.host_budget)
+            if budget is None:
+                budget = cfg.host_budget
             if cfg.domain_quota is not None:
                 # cumulative per-host cap (engine: politeness.admit
                 # budget_caps joined from the admitted table)
@@ -220,6 +239,19 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                     next_frontier[c] = (min(prev[0], child_depth),
                                         max(prev[1], p),
                                         min(prev[2], wave + 1))
+        if cfg.adaptive_politeness:
+            # record this wave's latency observations (engine:
+            # adaptive.observe_fetches → fetch_obs append); fetch
+            # errors carry no latency, mirroring the isNotNull filter
+            per_host_ms: dict[str, list[float]] = {}
+            for host, u, _rank in admitted:
+                page = page_by_url.get(u)
+                if page is not None and page.get("fetch_ms") is not None:
+                    per_host_ms.setdefault(host, []).append(
+                        page["fetch_ms"])
+            for h, vals in per_host_ms.items():
+                lat_obs.setdefault(h, []).append(
+                    (wave, sum(vals) / len(vals)))
         if cfg.domain_quota is not None:
             # exhausted hosts leave the frontier entirely — deferred AND
             # newly discovered rows (engine: the broadcast anti-join on

@@ -98,6 +98,7 @@ def init_tables(catalog: SnapshotCatalog) -> None:
     catalog.create_table("links", schemas.LINKS)
     catalog.create_table("ranks", schemas.RANKS)
     catalog.create_table("trap_state", schemas.TRAP_STATE)
+    catalog.create_table("fetch_obs", schemas.FETCH_OBS)
 
 
 def _record_lineage(spark: SparkSession, catalog: SnapshotCatalog, wave: int,
@@ -158,7 +159,7 @@ def expire_history(spark: SparkSession, catalog: SnapshotCatalog,
 # every table a wave mutates — the rollback set for mid-wave crash recovery
 _MANAGED_TABLES = ("frontier", "seen", "admitted", "metrics", "links",
                    "ranks", "documents", "chunks", "vectors",
-                   "sigs", "dup_log")
+                   "sigs", "dup_log", "fetch_obs")
 
 
 def _rollback_incomplete_wave(spark: SparkSession, catalog: SnapshotCatalog,
@@ -365,10 +366,27 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                                       F.lit(cfg.domain_quota)
                                       - F.col("_n")).cast("int")
                                   .alias("_cap")))
+        adaptive_frame = None
+        if cfg.adaptive_politeness:
+            # latency-adaptive budgets from the crawl's own observation
+            # state (operators/adaptive.py): delay floor = the static
+            # politeness delay, so adaptivity only THROTTLES slow hosts
+            # — never exceeds the configured ceiling. Hosts without
+            # observations are absent from the frame → static budget.
+            from axora_spark.operators import adaptive
+            adaptive_frame = adaptive.latency_budgets(
+                catalog.read(spark, "fetch_obs"),
+                num_ms=cfg.per_host_parallelism * cfg.wave_seconds
+                * 1000.0,
+                delay_factor=cfg.adaptive_delay_factor,
+                min_delay_ms=cfg.per_host_delay_s * 1000.0,
+                prior_ms=cfg.per_host_delay_s * 1000.0
+                / cfg.adaptive_delay_factor,
+                max_budget=cfg.host_budget)
         admitted, deferred = politeness.admit(
             candidates, cfg.host_budget, salt=cfg.hot_host_salt,
             budget_overrides=budget_overrides or None,
-            budget_caps=quota_caps)
+            budget_caps=quota_caps, budget_frame=adaptive_frame)
         admitted = admitted.persist()
         n_admitted = admitted.count()
 
@@ -396,6 +414,17 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
             from axora_spark.operators.html import parse_fetched_html
             fetched = parse_fetched_html(fetched)
         fetched = fetched.persist()
+
+        sid_obs = None
+        if cfg.adaptive_politeness and "fetch_ms" in fetched.columns:
+            # map-side collapse to (host, wave, sum_ms, n) BEFORE the
+            # append — the state table grows by hosts-per-wave, never
+            # URLs-per-wave; replaying a rolled-back wave re-derives
+            # identical rows (pure function of the wave's fetches)
+            from axora_spark.operators import adaptive
+            sid_obs = catalog.append(
+                spark, "fetch_obs",
+                adaptive.observe_fetches(fetched, wave))
 
         # branch B — content pipeline
         if content_sink is not None:
@@ -499,6 +528,8 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
         ]
         if sid_links is not None:
             lineage_entries.append(("links", sid_links, 0, 0))
+        if sid_obs is not None:
+            lineage_entries.append(("fetch_obs", sid_obs, 0, 0))
         if sid_ranks is not None:
             lineage_entries.append(("ranks", sid_ranks, 0, 0))
         # content tables (written by the sink) join the rollback set so a

@@ -3255,6 +3255,76 @@ def _rc_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.concat(F.lit("v"), version.cast("string")))
 
 
+# Latency-adaptive politeness budgets (operators/adaptive.py — the
+# Heritrix delay-factor analog). The fixture observation log derives
+# from the events table: host = user bucket, wave = event bucket,
+# latency = floor(value·100) ms — deterministic on both engines.
+_AD_NUM_MS = 60_000.0   # parallelism × wave_seconds × 1000 closure
+_AD_PRIOR_MS = 2500.0
+_AD_MIN_DELAY_MS = 1000.0
+_AD_MAX_BUDGET = 50
+
+
+def q_adaptive_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness budget from EWMA'd fetch latency
+    (operators/adaptive.py): est = fold of per-wave mean latency from a
+    prior with α=0.5 (closed form — every weight an exact power of
+    two), delay = max(2·est, floor), budget = clamp(num/delay). This is
+    the budget table W1's admit() broadcasts in
+    cfg.adaptive_politeness sessions.
+
+    Scale shape: input is (host, wave) grain — already the collapsed
+    state table the crawl maintains; one host-keyed exchange shared by
+    the ranking window and the EWMA aggregate; output = one row per
+    host. est_ms rounded 6dp (sum-order ulps), budget is rank-free
+    integer arithmetic off the same est."""
+    from axora_spark.operators.adaptive import latency_budgets
+    ev = _t(spark, sf_dir, "events", spread=True)
+    obs = (ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"),
+        (F.col("event_id") % 6).cast("int").alias("wave"),
+        F.floor(F.col("value") * 100).alias("ms"))
+        .groupBy("host", "wave")
+        .agg(F.sum("ms").cast("long").alias("sum_ms"),
+             F.count("*").alias("n")))
+    b = latency_budgets(obs, num_ms=_AD_NUM_MS, prior_ms=_AD_PRIOR_MS,
+                        min_delay_ms=_AD_MIN_DELAY_MS,
+                        max_budget=_AD_MAX_BUDGET)
+    return b.select("host", "n_waves",
+                    F.round("est_ms", 6).alias("est_ms"),
+                    F.col("_budget").alias("budget"))
+
+
+SQL_ADAPTIVE_BUDGETS = f"""
+WITH obs AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         CAST(event_id % 6 AS INT) AS wave,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_ms,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+mw AS (
+  SELECT host, wave, sum(sum_ms) / (1.0 * sum(n)) AS mw
+  FROM obs GROUP BY 1, 2),
+rk AS (
+  SELECT host, mw,
+         row_number() OVER (PARTITION BY host ORDER BY wave DESC) - 1
+           AS k
+  FROM mw),
+est AS (
+  SELECT host, count(*) AS n_waves,
+         sum(mw * 0.5 * pow(0.5, k))
+           + pow(0.5, count(*)) * {_AD_PRIOR_MS} AS est_ms
+  FROM rk GROUP BY 1)
+SELECT host, n_waves, round(est_ms, 6) AS est_ms,
+       CAST(least({_AD_MAX_BUDGET}, greatest(1,
+         CAST(floor({_AD_NUM_MS} /
+                    greatest(est_ms * 2.0, {_AD_MIN_DELAY_MS}))
+              AS BIGINT))) AS INT) AS budget
+FROM est
+"""
+
+
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-rate estimation + staleness revisit priority
     (operators/recrawl.py; Cho & Garcia-Molina, ACM TODS 2003). The
@@ -3751,6 +3821,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "sessionize": q_sessionize,
     "recrawl_schedule": q_recrawl_schedule,
+    "adaptive_budgets": q_adaptive_budgets,
     "trap_detection": q_trap_detection,
     "source_overlap": q_source_overlap,
     "anchor_text": q_anchor_text,
@@ -3822,6 +3893,7 @@ ORACLES = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "sessionize": SQL_SESSIONIZE,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
+    "adaptive_budgets": SQL_ADAPTIVE_BUDGETS,
     "trap_detection": SQL_TRAP_DETECTION,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "anchor_text": SQL_ANCHOR_TEXT,

@@ -52,6 +52,16 @@ TRAP_STATE = T.StructType([
     T.StructField("max_params", T.IntegerType(), False),
 ])
 
+# Latency-adaptive politeness observation state (operators/adaptive.py):
+# host × wave grain — the wave loop pre-aggregates per-URL latency
+# map-side, so this grows by #hosts-fetched rows per wave
+FETCH_OBS = T.StructType([
+    T.StructField("host", T.StringType(), True),
+    T.StructField("wave", T.IntegerType(), False),
+    T.StructField("sum_ms", T.LongType(), True),
+    T.StructField("n", T.LongType(), False),
+])
+
 # Admission log: the deterministic crawl order (W4)
 ADMITTED = T.StructType([
     T.StructField("wave", T.IntegerType(), False),

@@ -135,7 +135,7 @@ def fetch_from_corpus(admitted: DataFrame, corpus: DataFrame,
     the corpus side is replaced by fetch_http (no join at all)."""
     body_col = "body_html" if "body_html" in corpus.columns else "body_md"
     payload = [c for c in ("title", "metas", "body_md", "out_links",
-                           "body_html") if c in corpus.columns]
+                           "body_html", "fetch_ms") if c in corpus.columns]
     right = corpus.select("url", *payload)
     if broadcast_corpus:
         right = F.broadcast(right)

@@ -53,7 +53,7 @@ HEADLINE = [
     "retention_cohorts", "moving_window", "rollup_orders",
     "cube_events", "value_percentiles",
     "recrawl_schedule", "trap_detection", "source_overlap", "anchor_text",
-    "hostrank", "mirror_hosts",
+    "hostrank", "mirror_hosts", "lm_perplexity", "adaptive_budgets",
 ]
 
 CRAWL_FRONTIER_N = int(os.environ.get("AXORA_BENCH_FRONTIER_N", 2_000_000))

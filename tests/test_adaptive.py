@@ -1,0 +1,99 @@
+"""Latency-adaptive politeness (operators/adaptive.py): the budget
+operator against its pure-Python twin, and a full crawl session where a
+slow host provably throttles — engine byte-identical to the oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from axora_spark import datagen, oracle, schemas
+from axora_spark.operators import adaptive
+from axora_spark.plans import crawl
+from pyspark.sql import functions as F
+
+SLOW_HOST = "hot.example.org"
+SLOW_MS = 9000          # EWMA -> delay 2x9000=18s -> budget 30000/18000=1
+FAST_MS = 400           # below the 5s floor -> static budget stays
+
+
+@pytest.fixture(scope="module")
+def fixture_pages():
+    rows = datagen.link_graph_rows(n_pages=120, seed=42)
+    for r in rows:
+        r["fetch_ms"] = SLOW_MS if r["host"] == SLOW_HOST else FAST_MS
+    return rows
+
+
+def test_latency_budgets_matches_py_twin(spark):
+    # varied per-wave means, incl. a host seen in only one wave
+    rows = [("a", 0, 1000, 2), ("a", 1, 9000, 3), ("a", 2, 4000, 1),
+            ("b", 0, 100, 1), ("b", 2, 300, 3),
+            ("c", 1, 50_000, 4)]
+    obs = spark.createDataFrame(rows, schemas.FETCH_OBS)
+    num_ms, prior = 30_000.0, 2500.0
+    got = {r.host: (r.n_waves, r.est_ms, r._budget)
+           for r in adaptive.latency_budgets(
+               obs, num_ms=num_ms, prior_ms=prior,
+               min_delay_ms=5000.0, max_budget=6).collect()}
+    by_host: dict[str, list[tuple[int, float]]] = {}
+    for h, w, s, n in rows:
+        by_host.setdefault(h, []).append((w, s / n))
+    for h, means in by_host.items():
+        want_b = adaptive.latency_budget_py(
+            means, num_ms=num_ms, prior_ms=prior,
+            min_delay_ms=5000.0, max_budget=6)
+        assert got[h][0] == len(means)
+        assert got[h][2] == want_b, h
+    # semantics: c's single 12.5s-mean wave EWMAs with the 2.5s prior
+    # to est 7.5s -> delay 15s -> budget 30s/15s = 2 (throttled);
+    # b stays at the 5s-floor budget (30s/5s = 6)
+    assert got["c"][2] == 2
+    assert got["b"][2] == 6
+
+
+def test_observe_fetches_grain(spark):
+    fetched = spark.createDataFrame(
+        [("h1", "u1", 100), ("h1", "u2", 300), ("h2", "u3", 50),
+         ("h2", "u4", None)],
+        "host string, url string, fetch_ms long")
+    got = {r.host: (r.sum_ms, r.n)
+           for r in adaptive.observe_fetches(fetched, 3).collect()}
+    assert got == {"h1": (400, 2), "h2": (50, 1)}  # null row excluded
+
+
+def test_adaptive_crawl_identical_to_oracle(spark, catalog, fixture_pages):
+    cfg = datagen.fixture_config(fixture_pages, adaptive_politeness=True)
+    want = oracle.simulate(fixture_pages, cfg)
+
+    # adaptivity must actually change the session vs the static config
+    base = oracle.simulate(fixture_pages,
+                           datagen.fixture_config(fixture_pages))
+    assert want.admitted != base.admitted
+
+    schema = schemas.LINK_GRAPH.add("fetch_ms", "long")
+    corpus = spark.createDataFrame(fixture_pages, schema)
+    crawl.run_crawl(spark, catalog, cfg, corpus)
+
+    got = [(r.wave, r.host, r.rank, r.url, r.depth)
+           for r in catalog.read(spark, "admitted")
+           .orderBy("wave", "host", "rank").collect()]
+    assert got == want.admitted
+    seen = {r.url for r in catalog.read(spark, "seen").collect()}
+    assert seen == want.seen
+
+    # the slow host throttles to 1 URL/wave once observed (wave >= 1),
+    # while wave 0 (no observations) used the static budget
+    per_wave = {
+        (r.wave, r.host): r.admitted
+        for r in catalog.read(spark, "metrics").collect()}
+    slow_waves = sorted(w for (w, h) in per_wave if h == SLOW_HOST)
+    assert any(per_wave[(w, SLOW_HOST)] == 1 for w in slow_waves[1:])
+    static_budget = cfg.host_budget
+    fast = [(w, h) for (w, h) in per_wave
+            if h != SLOW_HOST and per_wave[(w, h)] == static_budget]
+    assert fast, "no fast host ever used the full static budget"
+
+    # observation state is (host, wave)-grain: one row per fetched host
+    obs = catalog.read(spark, "fetch_obs")
+    assert obs.groupBy("host", "wave").count() \
+              .filter(F.col("count") > 1).count() == 0
