@@ -116,6 +116,18 @@ class CrawlConfig:
                                     # the volume signal fires
     trap_max_path_depth: int = 8    # path-SEGMENT depth signal (not
                                     # the link-hop max_depth above)
+    frontier_host_cap: int | None = None  # bounded frontier state: after
+                                    # each wave keep only the top-cap
+                                    # URLs per host by (priority DESC,
+                                    # url ASC) — IRLbot/Heritrix spill
+                                    # policy re-expressed as a drop
+                                    # (dropped URLs are rediscoverable
+                                    # through links from kept pages);
+                                    # prevents hub-heavy hosts from
+                                    # parking unbounded frontier rows
+                                    # the politeness budget never
+                                    # reaches (operators/frontier.py
+                                    # cap_frontier_per_host)
     adaptive_politeness: bool = False  # latency-adaptive per-host budgets
                                     # (operators/adaptive.py, the Heritrix
                                     # delay-factor analog): EWMA the

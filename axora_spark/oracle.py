@@ -271,6 +271,24 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
             next_frontier = {
                 u: (d, _round6(ranks_cache.get(u, 0.0)), w)
                 for u, (d, _p, w) in next_frontier.items()}
+        if cfg.frontier_host_cap is not None:
+            # bounded frontier twin (cap_frontier_per_host): top-cap per
+            # host by (priority DESC, url ASC), after priorities final.
+            # The engine caps the SEEN-FILTERED set (nxt is built behind
+            # anti_join_seen), so filter before capping here too —
+            # otherwise already-seen discoveries would waste cap slots
+            # the engine spends on unseen URLs.
+            next_frontier = {u: v for u, v in next_frontier.items()
+                             if u not in seen}
+            by_h: dict[str, list[str]] = {}
+            for u in next_frontier:
+                by_h.setdefault(urlnorm.host_of(u), []).append(u)
+            keep: set[str] = set()
+            for h, urls in by_h.items():
+                urls.sort(key=lambda u: (-next_frontier[u][1], u))
+                keep.update(urls[:cfg.frontier_host_cap])
+            next_frontier = {u: v for u, v in next_frontier.items()
+                             if u in keep}
         metrics.append({
             "wave": wave, "candidates": len(candidates),
             "admitted": len(admitted), "deferred": len(deferred),

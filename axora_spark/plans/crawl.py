@@ -491,6 +491,16 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
             sid_links = catalog.append(spark, "links", edges_w)
             nxt, sid_ranks = _pagerank_priorities(spark, catalog, nxt,
                                                   wave, cfg.rank_every)
+        if cfg.frontier_host_cap is not None:
+            # bounded frontier state — applied AFTER priorities are
+            # final (pagerank rescore above) so the cap keeps the
+            # highest-authority URLs, and BEFORE the overwrite so the
+            # persisted table is the bounded one. Dropped rows count in
+            # the metrics `deduped` column (pre-union minus persisted).
+            from axora_spark.operators.frontier import \
+                cap_frontier_per_host
+            nxt = cap_frontier_per_host(nxt, cfg.frontier_host_cap,
+                                        salt=cfg.hot_host_salt)
         sid_frontier = catalog.overwrite(spark, "frontier", nxt)
 
         # A5 — metrics (per wave × host); deduped = rows removed from the
