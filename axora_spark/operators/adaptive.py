@@ -20,10 +20,15 @@ declarative plan (no driver fixpoint):
     est = (1-alpha)^n * prior + sum_i alpha * (1-alpha)^{k_i} * mean_i
 
 with ``k_i`` = number of observed waves after wave i. alpha = 0.5 keeps
-every weight an exact power of two; a power-of-two multiply only
-shifts the exponent, so on integer-millisecond fixtures the engine,
-the DuckDB oracle and the pure-Python crawl oracle agree bit-for-bit
-regardless of summation order.
+every weight an exact power of two — a power-of-two multiply only
+shifts the exponent, so each TERM is exact whenever the per-wave mean
+is (integer-ms observations with per-host-constant latency, the
+fixture contract), and engine/oracle sums then agree exactly. For
+arbitrary means the terms round and double addition is not
+associative, so summation order can differ by ulps across engines —
+the est output is round-guarded at 6dp and the budget divides through
+a round6-then-floor (code-review r5: the original claim overstated
+this as order-independent).
 
 Scale shape: input is the (host, wave, sum_ms, n) state table the
 crawl maintains — host × wave grain, NOT per-URL (the wave loop
@@ -46,11 +51,18 @@ def observe_fetches(fetched: DataFrame, wave: int) -> DataFrame:
     """(host, wave, sum_ms, n) partial-aggregate rows for one wave's
     fetches — only rows that carry a latency observation count. This is
     the map-side collapse: per-URL latency never reaches the state
-    table."""
+    table.
+
+    Latency contract is INTEGER milliseconds: each observation is
+    truncated per row BEFORE the sum (and the crawl oracle mirrors
+    int()), so sums are exact longs and engine/oracle parity never
+    depends on float-summation order (code-review r5: a long cast on
+    the SUM of fractional latencies diverged from the oracle's exact
+    float mean)."""
     return (fetched
             .filter(F.col("fetch_ms").isNotNull())
             .groupBy("host")
-            .agg(F.sum("fetch_ms").cast("long").alias("sum_ms"),
+            .agg(F.sum(F.col("fetch_ms").cast("long")).alias("sum_ms"),
                  F.count("*").alias("n"))
             .select("host", F.lit(wave).alias("wave"), "sum_ms", "n"))
 
@@ -58,8 +70,14 @@ def observe_fetches(fetched: DataFrame, wave: int) -> DataFrame:
 def _budget_col(est: Column, num_ms: float, delay_factor: float,
                 min_delay_ms: float, min_budget: int,
                 max_budget: int | None) -> Column:
-    delay = F.greatest(est * F.lit(delay_factor), F.lit(min_delay_ms))
-    b = F.floor(F.lit(num_ms) / delay)
+    # hard 1 ms delay floor: min_delay_ms=0 (politeness disabled) with
+    # an all-zero-latency host would otherwise divide by zero — the
+    # Spark side would null-propagate to min_budget while the Python
+    # twin raised (code-review r5). round-before-floor collapses
+    # summation-order ulps away from quotient boundaries.
+    delay = F.greatest(est * F.lit(delay_factor), F.lit(min_delay_ms),
+                       F.lit(1.0))
+    b = F.floor(F.round(F.lit(num_ms) / delay, 6))
     b = F.greatest(F.lit(min_budget).cast("long"), b)
     if max_budget is not None:
         b = F.least(F.lit(max_budget).cast("long"), b)
@@ -105,8 +123,8 @@ def latency_budget_py(means: list[tuple[int, float]], num_ms: float,
     est = sum(m * alpha * (1.0 - alpha) ** k
               for k, (_, m) in enumerate(orderd))
     est += (1.0 - alpha) ** n * prior_ms
-    delay = max(delay_factor * est, min_delay_ms)
-    b = int(math.floor(num_ms / delay))
+    delay = max(delay_factor * est, min_delay_ms, 1.0)
+    b = int(math.floor(round(num_ms / delay, 6)))
     b = max(min_budget, b)
     if max_budget is not None:
         b = min(max_budget, b)

@@ -193,19 +193,12 @@ def cap_frontier_per_host(frontier: DataFrame, cap: int,
     reach). Dropped URLs are rediscoverable: if a kept page still links
     to them, a later wave re-admits them through the normal path.
 
-    Same two-phase salted top-k shape as W1's admit (politeness.py):
-    phase 1 prunes within (host, salt-shard) so a hot host's sort
-    spreads over `salt` tasks, phase 2 ranks the ≤ salt·cap survivors.
-    `cap` is compared as a LITERAL so both windows get WindowGroupLimit
-    (per-partition top-k pruning BEFORE the sort exchange)."""
-    from axora_spark.operators.politeness import _order_cols
-    from pyspark.sql import Window
+    Reuses W1 admit's two-phase salted top-k (politeness.salted_topk —
+    single definition of the scale-critical idiom): phase 1 prunes
+    within (host, salt-shard) so a hot host's sort spreads over `salt`
+    tasks, phase 2 ranks the ≤ salt·cap survivors. `cap` is a LITERAL
+    so both windows get WindowGroupLimit (per-partition top-k pruning
+    BEFORE the sort exchange)."""
+    from axora_spark.operators.politeness import salted_topk
 
-    salted = frontier.withColumn(
-        "_salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int"))
-    w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
-    surv = (salted.withColumn("_r", F.row_number().over(w1))
-            .filter(F.col("_r") <= cap).drop("_r"))
-    w2 = Window.partitionBy("host").orderBy(*_order_cols())
-    return (surv.withColumn("_r", F.row_number().over(w2))
-            .filter(F.col("_r") <= cap).drop("_r", "_salt"))
+    return salted_topk(frontier, cap, salt).drop("rank")

@@ -39,6 +39,29 @@ def _order_cols():
     return [F.col("priority").desc(), F.col("url").asc()]
 
 
+def salted_topk(df: DataFrame, budget, salt: int) -> DataFrame:
+    """THE two-phase salted per-host top-k (single definition —
+    code-review r5: the frontier cap re-implemented it): phase 1 prunes
+    within (host, url_hash%salt) shards so a hot host's sort spreads
+    over `salt` tasks; phase 2 ranks the ≤ salt·k survivors per host.
+    Returns df + `rank` (1-based per host by _order_cols), filtered to
+    rank ≤ budget. Pass `budget` as a literal int to get
+    WindowGroupLimit (per-partition top-k pruning BEFORE each sort
+    exchange) in BOTH windows; a Column budget (overrides/caps) trades
+    that for per-row limits."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int"))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
+    survivors = (salted
+                 .withColumn("_srn", F.row_number().over(w1))
+                 .filter(F.col("_srn") <= budget)
+                 .drop("_srn"))
+    w2 = Window.partitionBy("host").orderBy(*_order_cols())
+    ranked = (survivors.withColumn("rank", F.row_number().over(w2))
+              .drop("_salt"))
+    return ranked.filter(F.col("rank") <= budget)
+
+
 def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
           budget_overrides: dict[str, int] | None = None,
           budget_caps: DataFrame | None = None,
@@ -108,19 +131,7 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
             .drop("_cap"))
         budget = F.col("_budget")
 
-    salted = frontier.withColumn(
-        "_salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int"))
-
-    w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
-    survivors = (salted
-                 .withColumn("_srn", F.row_number().over(w1))
-                 .filter(F.col("_srn") <= budget)
-                 .drop("_srn"))
-
-    w2 = Window.partitionBy("host").orderBy(*_order_cols())
-    ranked = survivors.withColumn("rank", F.row_number().over(w2)).drop("_salt")
-
-    admitted = ranked.filter(F.col("rank") <= budget)
+    admitted = salted_topk(frontier, budget, salt)
     if use_cols:
         admitted = admitted.drop("_budget")
         frontier = frontier.drop("_budget")

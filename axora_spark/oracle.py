@@ -247,8 +247,10 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
             for host, u, _rank in admitted:
                 page = page_by_url.get(u)
                 if page is not None and page.get("fetch_ms") is not None:
+                    # integer-ms contract (observe_fetches truncates
+                    # per row before summing)
                     per_host_ms.setdefault(host, []).append(
-                        page["fetch_ms"])
+                        int(page["fetch_ms"]))
             for h, vals in per_host_ms.items():
                 lat_obs.setdefault(h, []).append(
                     (wave, sum(vals) / len(vals)))

@@ -3318,8 +3318,8 @@ est AS (
   FROM rk GROUP BY 1)
 SELECT host, n_waves, round(est_ms, 6) AS est_ms,
        CAST(least({_AD_MAX_BUDGET}, greatest(1,
-         CAST(floor({_AD_NUM_MS} /
-                    greatest(est_ms * 2.0, {_AD_MIN_DELAY_MS}))
+         CAST(floor(round({_AD_NUM_MS} /
+                    greatest(est_ms * 2.0, {_AD_MIN_DELAY_MS}, 1.0), 6))
               AS BIGINT))) AS INT) AS budget
 FROM est
 """

@@ -34,6 +34,11 @@ FETCHED_RAW = T.StructType([
     T.StructField("wave", T.IntegerType(), False),
     T.StructField("http_status", T.IntegerType(), False),
     T.StructField("body_html", T.StringType(), True),
+    # wall-clock transport latency, integer ms (measured around the
+    # transport call in fetch_stage — error rows included: a timeout IS
+    # a latency observation). Feeds latency-adaptive politeness
+    # (operators/adaptive.py) when cfg.adaptive_politeness is on.
+    T.StructField("fetch_ms", T.LongType(), True),
 ])
 
 
@@ -87,20 +92,30 @@ def fetch_stage(src: DataFrame, wave: int, in_cols: list[str], call,
     enforced upstream by W1, so threads here only hide latency, never
     violate politeness). Narrow stage, no shuffle."""
     def _fetch(batches):
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
+
+        def _timed(a):
+            t0 = _time.monotonic()
+            r = call(*a)
+            return r, int((_time.monotonic() - t0) * 1000)
+
         for pdf in batches:
             if pdf.empty:
                 continue
             args = list(zip(*[pdf[c] for c in in_cols]))
             with ThreadPoolExecutor(max_workers=max(1, n_threads)) as ex:
-                results = list(ex.map(lambda a: call(*a), args))
+                results = list(ex.map(_timed, args))
             out = pdf[["url", "host", "depth"]].copy()
             out["wave"] = wave
-            out["http_status"] = [r[0] for r in results]
+            out["http_status"] = [r[0] for r, _ in results]
             out["body_html"] = [r[1] if r[0] == 200 else None
-                                for r in results]
+                                for r, _ in results]
+            # per-call wall latency (integer ms; errors included — a
+            # timeout IS an observation the adaptive scheduler needs)
+            out["fetch_ms"] = [ms for _, ms in results]
             for i, name in enumerate(out_extra):
-                out[name] = [r[2 + i] for r in results]
+                out[name] = [r[2 + i] for r, _ in results]
             yield out
 
     return src.mapInPandas(_fetch, schema=schema)

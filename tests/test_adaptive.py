@@ -70,7 +70,11 @@ def test_adaptive_crawl_identical_to_oracle(spark, catalog, fixture_pages):
                            datagen.fixture_config(fixture_pages))
     assert want.admitted != base.admitted
 
-    schema = schemas.LINK_GRAPH.add("fetch_ms", "long")
+    # StructType.add MUTATES in place — build a copy, never extend the
+    # shared module-level schema (code-review r5)
+    from pyspark.sql import types as T
+    schema = T.StructType(list(schemas.LINK_GRAPH.fields)
+                          + [T.StructField("fetch_ms", T.LongType())])
     corpus = spark.createDataFrame(fixture_pages, schema)
     crawl.run_crawl(spark, catalog, cfg, corpus)
 
