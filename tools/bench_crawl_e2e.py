@@ -173,6 +173,15 @@ def main() -> None:
     ap.add_argument("--max-bucket", type=int, default=None,
                     help="near-dup candidate bucket cap "
                          "(cfg.near_dup_max_bucket)")
+    ap.add_argument("--governance", action="store_true",
+                    help="full crawl-governance stack on: trap_detect + "
+                         "adaptive_politeness (corpus declares "
+                         "deterministic 200-599 ms host latencies — "
+                         "below the 5 s delay floor so admissions are "
+                         "IDENTICAL to the baseline run and the wall "
+                         "delta is pure governance overhead) + "
+                         "frontier_host_cap=K**2 (never binds on this "
+                         "graph, same reasoning)")
     args = ap.parse_args()
     H, K = args.hosts, args.fanout
     n_pages = H * (1 + K + K * K)
@@ -182,7 +191,13 @@ def main() -> None:
     wh = tempfile.mkdtemp(prefix="e2e_wh_")
     try:
         t0 = time.time()
-        build_corpus(spark, H, K, args.dup_frac).write.mode("overwrite") \
+        corpus_df = build_corpus(spark, H, K, args.dup_frac)
+        if args.governance:
+            corpus_df = corpus_df.withColumn(
+                "fetch_ms",
+                (F.lit(200) + F.pmod(F.xxhash64("host"), F.lit(400)))
+                .cast("long"))
+        corpus_df.write.mode("overwrite") \
             .parquet(os.path.join(store, "corpus"))
         corpus = spark.read.parquet(os.path.join(store, "corpus"))
         gen_sec = time.time() - t0
@@ -200,6 +215,9 @@ def main() -> None:
             priority_mode=args.priority,
             near_dup_ingest=args.near_dup,
             near_dup_max_bucket=args.max_bucket,
+            trap_detect=args.governance,
+            adaptive_politeness=args.governance,
+            frontier_host_cap=(K * K if args.governance else None),
         )
         catalog = SnapshotCatalog(wh)
 
@@ -219,6 +237,7 @@ def main() -> None:
             "hosts": H, "fanout": K, "corpus_pages": n_pages,
             "tokenizer": args.tokenizer,
             "priority_mode": args.priority,
+            "governance": args.governance,
             "corpus_gen_sec": round(gen_sec, 1),
             "crawl_wall_sec": round(wall, 1),
             "pages_fetched": fetched,
