@@ -1,0 +1,85 @@
+"""N-gram language-model scoring (CCNet, Wenzek et al. LREC 2020).
+
+CCNet scores every document with an LM trained on a TRUSTED corpus
+(Wikipedia) and keeps the low-perplexity head/middle of the
+distribution. This module is the two-corpus form of that operator —
+``lm_perplexity(docs, train)`` trains an add-α bigram LM on `train`
+and scores `docs`; ``train=None`` is the self-scoring single-corpus
+form the driver query registers (queries.q_lm_perplexity). The
+production swap is KenLM behind the same join shape; everything here
+is deterministic so the score is oracle-verifiable bit-for-bit.
+
+Scale shape (the tfidf lesson applied to an LM): each corpus's token
+stream collapses to per-doc bigram TYPE counts in ONE keyed
+aggregation — the only token-volume exchange per corpus. The model
+(c12, c1, V) derives from the train-side aggregate at type grain; the
+scored join is per-doc-type ⋈ model on (w1, w2), SHUFFLE_HASH-pinned
+because the vocabulary is unbounded at web scale (sandbox stats would
+broadcast it — the plan that dies at 100 TB; plan-gated); the per-doc
+reduce Σ cnt·(-ln P) / Σ cnt equals the token-stream mean without
+re-touching token rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from axora_spark.functions.words import words_col
+
+DEFAULT_ALPHA = 0.5  # add-α smoothing; exact in doubles (integer + 0.5)
+
+
+def bigram_types(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w1, w2, cnt): per-doc lowercased bigram-type
+    counts — the one token-level aggregation; lazily checkpointed since
+    it feeds both the model aggregation and the scored join (branches
+    don't bridge via exchange reuse)."""
+    wd = docs.select("doc_id", "source",
+                     words_col(F.lower(F.col("text"))).alias("w"))
+    n = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = F.zip_with(F.slice(F.col("w"), F.lit(1), n),
+                       F.slice(F.col("w"), F.lit(2), n),
+                       lambda a, b: F.struct(a.alias("w1"),
+                                             b.alias("w2")))
+    bg = (wd.select("doc_id", "source", F.explode(pairs).alias("p"))
+          .select("doc_id", "source", "p.w1", "p.w2"))
+    return (bg.groupBy("doc_id", "source", "w1", "w2")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=False))
+
+
+def bigram_model(train_tf: DataFrame,
+                 alpha: float = DEFAULT_ALPHA) -> DataFrame:
+    """(w1, w2, nats) add-α conditional bigram model from a
+    bigram_types frame: P(w2|w1) = (c12 + α) / (c1 + α·V),
+    V = distinct context types. Type-grain keyed aggregations + one
+    SHUFFLE_HASH join; the only broadcast is the 1-row V scalar."""
+    c12 = train_tf.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
+    return (c12.join(c1.hint("shuffle_hash"), "w1")
+            .crossJoin(F.broadcast(v))
+            .withColumn("nats",
+                        -F.log((F.col("c12") + alpha)
+                               / (F.col("c1") + alpha * F.col("v"))))
+            .select("w1", "w2", "nats"))
+
+
+def lm_perplexity(docs: DataFrame, train: DataFrame | None = None,
+                  alpha: float = DEFAULT_ALPHA) -> DataFrame:
+    """(doc_id, source, n_bigrams, nats_raw): mean model cross-entropy
+    (nats/bigram) of every `docs` document under the LM trained on
+    `train` (default: docs itself — the driver-query form). Bigrams
+    unseen as train CONTEXTS (w1 not in train) drop out of the inner
+    join — the two-corpus contract scores docs against what the
+    trusted corpus can judge; docs with no judgeable bigram emit no
+    row."""
+    docs_tf = bigram_types(docs)
+    train_tf = docs_tf if train is None else bigram_types(train)
+    model = bigram_model(train_tf, alpha)
+    return (docs_tf.join(model.hint("shuffle_hash"), ["w1", "w2"])
+            .groupBy("doc_id", "source")
+            .agg(F.sum("cnt").alias("n_bigrams"),
+                 (F.sum(F.col("cnt") * F.col("nats"))
+                  / F.sum("cnt")).alias("nats_raw")))

@@ -2199,7 +2199,10 @@ FROM ranked WHERE rank <= 3
 # bigram LM on the corpus itself — fully deterministic, so the score
 # is oracle-verifiable bit-for-bit, and the PLAN (the part that has to
 # survive 100 TB) is identical to the KenLM form: a model table joined
-# by key, never broadcast, never a Python UDF.
+# by key, never broadcast, never a Python UDF. The reusable two-corpus
+# form (train on a trusted corpus, score another — CCNet's actual
+# shape) is operators/lm.py; this query registers the self-scoring
+# form.
 _LM_ALPHA = 0.5  # add-α smoothing; exact in doubles (integer + 0.5)
 
 
@@ -2228,40 +2231,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (the politeness float-guard idiom); at production the
     per-source sort swaps for approx_percentile cutoffs (doc-level
     rows, 3-4 orders below token volume either way)."""
+    from axora_spark.operators.lm import lm_perplexity as _lm_op
     docs = _t(spark, sf_dir, "documents", spread=True)
-    wd = docs.select("doc_id", "source",
-                     _words_col(F.lower(F.col("text"))).alias("w"))
-    n = F.greatest(F.size("w") - 1, F.lit(0))
-    pairs = F.zip_with(F.slice(F.col("w"), F.lit(1), n),
-                       F.slice(F.col("w"), F.lit(2), n),
-                       lambda a, b: F.struct(a.alias("w1"),
-                                             b.alias("w2")))
-    bg = (wd.select("doc_id", "source", F.explode(pairs).alias("p"))
-          .select("doc_id", "source", "p.w1", "p.w2"))
-    # per-doc bigram-type counts: the ONE token-level exchange; feeds
-    # both the model aggregation and the scored join (branches don't
-    # bridge via exchange reuse — materialize once, the tfidf lesson)
-    tf = (bg.groupBy("doc_id", "source", "w1", "w2")
-          .agg(F.count("*").alias("cnt"))
-          .localCheckpoint(eager=False))
-    c12 = tf.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    v = c1.agg(F.count("*").alias("v"))
-    # SHUFFLE_HASH pins: vocabulary-keyed tables are unbounded at web
-    # scale — sandbox stats would broadcast c1 and even tf, exactly the
-    # plan that dies at 100 TB. The only broadcast is the 1-row V.
-    model = (c12.join(c1.hint("shuffle_hash"), "w1")
-             .crossJoin(F.broadcast(v))
-             .withColumn("nats",
-                         -F.log((F.col("c12") + _LM_ALPHA)
-                                / (F.col("c1")
-                                   + _LM_ALPHA * F.col("v")))))
-    doc = (tf.join(model.select("w1", "w2", "nats").hint("shuffle_hash"),
-                   ["w1", "w2"])
-           .groupBy("doc_id", "source")
-           .agg(F.sum("cnt").alias("n_bigrams"),
-                (F.sum(F.col("cnt") * F.col("nats"))
-                 / F.sum("cnt")).alias("nats_raw")))
+    doc = _lm_op(docs.select("doc_id", "source", "text"),
+                 alpha=_LM_ALPHA)
     win = (Window.partitionBy("source")
            .orderBy(F.round("nats_raw", 9), F.col("doc_id")))
     return (doc.withColumn("tercile", F.ntile(3).over(win))

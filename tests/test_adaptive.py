@@ -101,3 +101,34 @@ def test_adaptive_crawl_identical_to_oracle(spark, catalog, fixture_pages):
     obs = catalog.read(spark, "fetch_obs")
     assert obs.groupBy("host", "wave").count() \
               .filter(F.col("count") > 1).count() == 0
+
+
+def test_adaptive_resume_identical(spark, catalog, fixture_pages):
+    """A crash+resume mid-session must reproduce the adaptive session
+    exactly: budgets derive from the fetch_obs STATE table, which is
+    lineage-managed — a rolled-back wave's observations must not leak
+    into the resumed budgets."""
+    cfg = datagen.fixture_config(fixture_pages, adaptive_politeness=True)
+    want = oracle.simulate(fixture_pages, cfg)
+
+    from pyspark.sql import types as T
+    schema = T.StructType(list(schemas.LINK_GRAPH.fields)
+                          + [T.StructField("fetch_ms", T.LongType())])
+    corpus = spark.createDataFrame(fixture_pages, schema)
+
+    crawl.run_crawl(spark, catalog, cfg, corpus, stop_after_wave=1)
+    # mid-wave-2 crash: a fetch_obs append committed, state not saved —
+    # resume must roll it back or wave 2's budgets double-count it
+    partial = spark.createDataFrame(
+        [("hot.example.org", 2, 999_999, 1)], schemas.FETCH_OBS)
+    catalog.append(spark, "fetch_obs", partial)
+
+    crawl.run_crawl(spark, catalog, cfg, corpus, resume=True)
+
+    got = [(r.wave, r.host, r.rank, r.url, r.depth)
+           for r in catalog.read(spark, "admitted")
+           .orderBy("wave", "host", "rank").collect()]
+    assert got == want.admitted
+    # the poisoned observation is gone from the final state
+    assert catalog.read(spark, "fetch_obs") \
+        .filter("sum_ms = 999999").count() == 0

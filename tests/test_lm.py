@@ -99,3 +99,47 @@ def test_short_docs_excluded(spark, tmp_path_factory):
     # <2 words -> no bigrams -> no row (documented inner semantics)
     assert set(got) == {3}
     assert got[3].n_bigrams == 2
+
+
+def test_two_corpus_form(spark, tmp_path_factory):
+    """CCNet's actual shape: train on a trusted corpus, score another.
+    Contract: inner join on (w1, w2) — only bigrams the trusted model
+    can judge count, docs with no judgeable bigram emit no row."""
+    from axora_spark.operators.lm import lm_perplexity
+
+    train_texts = {101: "the cat sat on the mat",
+                   102: "the dog sat on the rug"}
+    score_texts = {1: "the cat sat on the rug",   # all bigrams in-model
+                   2: "the cat ate fish today",   # only 'the cat' judged
+                   3: "zebras juggle flaming swords"}  # nothing judged
+    mk = lambda d: spark.createDataFrame(
+        [(i, "s", t) for i, t in d.items()],
+        "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in
+           lm_perplexity(mk(score_texts), train=mk(train_texts))
+           .collect()}
+
+    # pure-python twin: model from TRAIN only, inner-join semantics
+    c12, c1 = Counter(), Counter()
+    for t in train_texts.values():
+        w = t.lower().split()
+        c12.update(zip(w, w[1:]))
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    v = len(c1)
+    for d, t in score_texts.items():
+        w = t.lower().split()
+        judged = [p for p in zip(w, w[1:]) if p in c12]
+        if not judged:
+            assert d not in got
+            continue
+        nats = [-math.log((c12[p] + ALPHA) / (c1[p[0]] + ALPHA * v))
+                for p in judged]
+        assert got[d].n_bigrams == len(judged)
+        assert got[d].nats_raw == pytest.approx(sum(nats) / len(nats),
+                                                rel=1e-12)
+    assert set(got) == {1, 2}
+    # doc 1 is fluent under the model, doc 2's one judged bigram is
+    # common — but doc 1's mean must beat doc 2's unseen-heavy text on
+    # judged-count, the quantity a mixing pipeline gates on
+    assert got[1].n_bigrams > got[2].n_bigrams
