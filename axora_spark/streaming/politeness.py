@@ -52,12 +52,20 @@ _STATE = T.StructType([
 
 
 def _admit(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState,
-           budget: int, window_s: float) -> Iterator[pd.DataFrame]:
+           budget: int, window_s: float,
+           per_host: bool) -> Iterator[pd.DataFrame]:
     if state.hasTimedOut:   # pragma: no cover - timeout not used in tests
         state.remove()
         return
     win, n_adm = state.get if state.exists else (None, 0)
     pdf = pd.concat(list(pdfs)).sort_values(["ts", "url"])
+    b = budget
+    if per_host:
+        # stream-static budget join upstream: every row of a host group
+        # carries the same _budget (NaN = host absent from the table)
+        v = pdf["_budget"].iloc[0]
+        if pd.notna(v):
+            b = int(v)
     out = {"host": [], "url": [], "ts": [], "window_start": [],
            "admitted": []}
     for _, row in pdf.iterrows():
@@ -65,7 +73,7 @@ def _admit(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState,
         w = (t // window_s) * window_s
         if win is None or w > win:
             win, n_adm = w, 0
-        ok = n_adm < budget
+        ok = n_adm < b
         if ok:
             n_adm += 1
         out["host"].append(key[0])
@@ -78,14 +86,30 @@ def _admit(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState,
 
 
 def politeness_stream(urls: DataFrame, budget: int = 5,
-                      window_s: float = 60.0) -> DataFrame:
+                      window_s: float = 60.0,
+                      budgets: DataFrame | None = None) -> DataFrame:
     """urls(host string, url string, ts timestamp) → every row with its
-    admit/defer verdict and the event-time window it was metered in."""
+    admit/defer verdict and the event-time window it was metered in.
+
+    budgets: optional STATIC (host, _budget) frame — the
+    latency-adaptive budget table the batch side computes
+    (operators/adaptive.latency_budgets); joined stream-static onto the
+    URL stream so each host meters at its own rate (hosts absent from
+    the frame use `budget`). This is the continuous twin of W1's
+    budget_frame seam: rate derivation stays a batch job on the
+    fetch_obs state table, the stream only METERS — the same
+    batch-computes/stream-joins split as pagerank priorities."""
+    src = urls.select("host", "url", "ts")
+    per_host = budgets is not None
+    if per_host:
+        src = src.join(budgets.select("host", "_budget"),
+                       on="host", how="left")
+
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
-        return _admit(key, pdfs, state, budget, window_s)
+        return _admit(key, pdfs, state, budget, window_s, per_host)
 
-    return (urls.select("host", "url", "ts")
+    return (src
             .groupBy("host")
             .applyInPandasWithState(
                 fn, outputStructType=ADMIT_OUT, stateStructType=_STATE,
@@ -95,22 +119,26 @@ def politeness_stream(urls: DataFrame, budget: int = 5,
 
 def politeness_batch_py(rows: list[tuple[str, str, float]],
                         budget: int = 5,
-                        window_s: float = 60.0) -> dict[tuple[str, str], bool]:
+                        window_s: float = 60.0,
+                        budgets: dict[str, int] | None = None
+                        ) -> dict[tuple[str, str], bool]:
     """Pure-Python oracle: [(host, url, epoch_s)] → (host, url) →
-    admitted. Same closure the streaming operator applies."""
+    admitted. Same closure the streaming operator applies; `budgets`
+    mirrors the stream-static per-host budget join."""
     by_host: dict[str, list[tuple[float, str]]] = {}
     for h, u, t in rows:
         by_host.setdefault(h, []).append((t, u))
     out: dict[tuple[str, str], bool] = {}
     for h, items in by_host.items():
         items.sort()
+        b = budgets.get(h, budget) if budgets else budget
         win: float | None = None
         n = 0
         for t, u in items:
             w = (t // window_s) * window_s
             if win is None or w > win:
                 win, n = w, 0
-            ok = n < budget
+            ok = n < b
             if ok:
                 n += 1
             out[(h, u)] = ok
