@@ -78,8 +78,10 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
     budget_frame: per-host budget as a (host, _budget) DATAFRAME computed
     distributed (latency-adaptive politeness, operators/adaptive.py —
     cardinality = hosts-with-fetch-history, the robots-table class, so
-    broadcast). Precedence: explicit overrides (robots is authoritative)
-    > budget_frame > host_budget default.
+    broadcast). Composition with overrides is MOST-POLITE-WINS: a host
+    present in both uses the SMALLER budget (robots' crawl-delay is a
+    floor on politeness, not a license to exceed what the host's
+    observed latency can serve); hosts in neither use host_budget.
 
     The no-override path compares ranks against the LITERAL budget, not
     a `_budget` column: a row_number filter against a foldable constant
@@ -105,9 +107,13 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
             on="host", how="left")
         srcs.append(F.col("_abud"))
     if srcs:
+        # F.least skips nulls: host in one source → that budget, in
+        # both → the smaller (most polite), in neither → the default
         frontier = (frontier
                     .withColumn("_budget",
-                                F.coalesce(*srcs, F.lit(host_budget)))
+                                F.coalesce(F.least(*srcs)
+                                           if len(srcs) > 1 else srcs[0],
+                                           F.lit(host_budget)))
                     .drop("_ovr", "_abud"))
         budget = F.col("_budget")
     elif use_cols:

@@ -170,22 +170,23 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
         admitted: list[tuple[str, str, int]] = []  # (host, url, rank)
         deferred: dict[str, tuple[int, float, int]] = {}
         for host, urls in by_host.items():
-            # precedence mirrors politeness.admit's coalesce: explicit
-            # robots override > adaptive frame > static default
-            budget = budget_override.get(host)
-            if budget is None and cfg.adaptive_politeness \
-                    and host in lat_obs:
+            # most-polite-wins, mirroring politeness.admit's
+            # least(): robots override and adaptive budget compose by
+            # MIN when both exist; neither → static default
+            cands: list[int] = []
+            if host in budget_override:
+                cands.append(budget_override[host])
+            if cfg.adaptive_politeness and host in lat_obs:
                 from axora_spark.operators.adaptive import \
                     latency_budget_py
-                budget = latency_budget_py(
+                cands.append(latency_budget_py(
                     lat_obs[host], num_ms=_adaptive_num_ms,
                     delay_factor=cfg.adaptive_delay_factor,
                     min_delay_ms=cfg.per_host_delay_s * 1000.0,
                     prior_ms=cfg.per_host_delay_s * 1000.0
                     / cfg.adaptive_delay_factor,
-                    max_budget=cfg.host_budget)
-            if budget is None:
-                budget = cfg.host_budget
+                    max_budget=cfg.host_budget))
+            budget = min(cands) if cands else cfg.host_budget
             if cfg.domain_quota is not None:
                 # cumulative per-host cap (engine: politeness.admit
                 # budget_caps joined from the admitted table)

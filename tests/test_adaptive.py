@@ -132,3 +132,40 @@ def test_adaptive_resume_identical(spark, catalog, fixture_pages):
     # the poisoned observation is gone from the final state
     assert catalog.read(spark, "fetch_obs") \
         .filter("sum_ms = 999999").count() == 0
+
+
+def test_robots_and_adaptive_compose_most_polite(spark, catalog,
+                                                 fixture_pages):
+    """Robots crawl-delay and adaptive budgets compose by MIN: the hot
+    fixture host has robots crawl-delay 10 (budget 3) AND 9s observed
+    latency (adaptive budget 1 once observed) — waves >= 1 must use 1.
+    Engine byte-identical to the oracle with both modes on."""
+    cfg = datagen.fixture_config(fixture_pages, adaptive_politeness=True,
+                                 robots_mode=True)
+    robots = datagen.fixture_robots()
+    want = oracle.simulate(fixture_pages, cfg, robots_txt=robots)
+
+    # composition must differ from robots-only (the adaptive min bites)
+    ro = oracle.simulate(
+        fixture_pages,
+        datagen.fixture_config(fixture_pages, robots_mode=True),
+        robots_txt=robots)
+    assert want.admitted != ro.admitted
+
+    from pyspark.sql import types as T
+    schema = T.StructType(list(schemas.LINK_GRAPH.fields)
+                          + [T.StructField("fetch_ms", T.LongType())])
+    corpus = spark.createDataFrame(fixture_pages, schema)
+    crawl.run_crawl(spark, catalog, cfg, corpus, robots_txt=robots)
+
+    got = [(r.wave, r.host, r.rank, r.url, r.depth)
+           for r in catalog.read(spark, "admitted")
+           .orderBy("wave", "host", "rank").collect()]
+    assert got == want.admitted
+
+    # the hot host's admitted-per-wave after first observation is the
+    # ADAPTIVE budget (1), tighter than the robots budget (3)
+    per_wave = {(r.wave, r.host): r.admitted
+                for r in catalog.read(spark, "metrics").collect()}
+    slow = sorted(w for (w, h) in per_wave if h == SLOW_HOST)
+    assert any(per_wave[(w, SLOW_HOST)] == 1 for w in slow[1:])
