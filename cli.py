@@ -54,6 +54,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="compact the seen table every N waves "
                         "(Iceberg rewrite_data_files; catalog.compact)")
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--trap-detect", action="store_true",
+                   help="statistical crawl-trap gate (incremental "
+                        "trap_state table)")
+    p.add_argument("--frontier-cap", type=int, default=None,
+                   help="bounded frontier state: keep top-N URLs per "
+                        "host after each wave")
+    p.add_argument("--adaptive", action="store_true",
+                   help="latency-adaptive politeness; the fixture "
+                        "corpus declares deterministic 200-599 ms "
+                        "per-host latencies")
     args = p.parse_args(argv)
 
     from axora_spark.session import get_spark
@@ -68,7 +78,10 @@ def main(argv: list[str] | None = None) -> int:
                                  max_waves=args.waves,
                                  priority_mode=args.priority,
                                  rank_every=args.rank_every,
-                                 near_dup_ingest=args.near_dup)
+                                 near_dup_ingest=args.near_dup,
+                                 trap_detect=args.trap_detect,
+                                 frontier_host_cap=args.frontier_cap,
+                                 adaptive_politeness=args.adaptive)
     catalog = SnapshotCatalog(args.warehouse)
     if args.input == "html":
         corpus = spark.createDataFrame(
@@ -77,6 +90,14 @@ def main(argv: list[str] | None = None) -> int:
             schemas.HTML_GRAPH)
     else:
         corpus = spark.createDataFrame(pages, schemas.LINK_GRAPH)
+    if args.adaptive:
+        # deterministic declared latencies (the fixture stand-in for
+        # fetch_stage's measured fetch_ms on the real transport path)
+        from pyspark.sql import functions as F
+        corpus = corpus.withColumn(
+            "fetch_ms",
+            (F.lit(200) + F.pmod(F.xxhash64("host"), F.lit(400)))
+            .cast("long"))
     run = crawl.run_crawl(
         spark, catalog, cfg, corpus, resume=args.resume,
         content_sink=content.make_content_sink(cfg) if args.content else None,
