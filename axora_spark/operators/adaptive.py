@@ -129,3 +129,80 @@ def latency_budget_py(means: list[tuple[int, float]], num_ms: float,
     if max_budget is not None:
         b = min(max_budget, b)
     return b
+
+
+# --------------------------------------------------------------------------
+# Incremental EWMA state (the trap_state lesson applied here): instead of
+# logging (host, wave) observations forever and re-folding the whole
+# history into est each wave — a table that grows hosts × waves over a
+# long session — the crawl keeps ONE row per host (host, est_ms, n_waves)
+# and folds each wave's mean in place:
+#
+#     est' = (1-alpha) * coalesce(est, prior) + alpha * mean_ms(wave)
+#
+# The fold IS the closed form (same terms, same order), and because the
+# engine and the oracle execute the identical operation sequence the
+# results are bit-identical for ANY latencies — the summation-order
+# caveat of the log-based closed form disappears. Per-wave cost: one
+# full-outer keyed merge of two host-cardinality frames; state size is
+# O(hosts) however long the session runs. Crash replay is handled the
+# same way as every overwrite table: lineage rollback restores the
+# pre-wave snapshot, so a replayed wave folds exactly once.
+# --------------------------------------------------------------------------
+
+
+def merge_latency_state(state: DataFrame, wave_obs: DataFrame,
+                        alpha: float = 0.5,
+                        prior_ms: float = 2500.0) -> DataFrame:
+    """(host, est_ms, n_waves) ⟗ this wave's (host, sum_ms, n) →
+    folded state. Hosts unseen this wave carry over; new hosts fold
+    from the prior."""
+    mw = (wave_obs.groupBy("host")
+          .agg((F.sum("sum_ms") / F.sum("n")).alias("_mw")))
+    merged = state.select("host", "est_ms", "n_waves") \
+        .join(mw, on="host", how="full_outer")
+    folded = F.lit(1.0 - alpha) * F.coalesce(F.col("est_ms"),
+                                             F.lit(prior_ms)) \
+        + F.lit(alpha) * F.col("_mw")
+    return merged.select(
+        "host",
+        F.when(F.col("_mw").isNotNull(), folded)
+         .otherwise(F.col("est_ms")).alias("est_ms"),
+        (F.coalesce(F.col("n_waves"), F.lit(0))
+         + F.when(F.col("_mw").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+        .cast("int").alias("n_waves"))
+
+
+def budgets_from_state(state: DataFrame, num_ms: float,
+                       delay_factor: float = 2.0,
+                       min_delay_ms: float = 100.0, min_budget: int = 1,
+                       max_budget: int | None = None) -> DataFrame:
+    """(host, _budget) from the folded state — row-wise arithmetic,
+    no window, no aggregation: the per-wave budget derivation is a
+    single O(hosts) projection."""
+    return state.select(
+        "host",
+        _budget_col(F.col("est_ms"), num_ms, delay_factor, min_delay_ms,
+                    min_budget, max_budget).alias("_budget"))
+
+
+def fold_latency_py(est: float | None, mean_ms: float,
+                    alpha: float = 0.5,
+                    prior_ms: float = 2500.0) -> float:
+    """Pure-Python twin of merge_latency_state's fold for ONE host-wave
+    — operation-for-operation identical to the Spark expression."""
+    base = est if est is not None else prior_ms
+    return (1.0 - alpha) * base + alpha * mean_ms
+
+
+def budget_from_est_py(est: float, num_ms: float,
+                       delay_factor: float = 2.0,
+                       min_delay_ms: float = 100.0, min_budget: int = 1,
+                       max_budget: int | None = None) -> int:
+    """Pure-Python twin of budgets_from_state for one host."""
+    delay = max(est * delay_factor, min_delay_ms, 1.0)
+    b = int(math.floor(round(num_ms / delay, 6)))
+    b = max(min_budget, b)
+    if max_budget is not None:
+        b = min(max_budget, b)
+    return b

@@ -138,10 +138,13 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
 
     seen: set[str] = set()
     host_admitted: dict[str, int] = {}  # cumulative (domain_quota)
-    # latency-adaptive politeness twin: host -> [(wave, mean_ms)]
-    lat_obs: dict[str, list[tuple[int, float]]] = {}
+    # latency-adaptive politeness twin: host -> folded EWMA est_ms
+    # (mirrors the engine's O(hosts) fetch_state table, not a log)
+    lat_est: dict[str, float] = {}
     _adaptive_num_ms = (cfg.per_host_parallelism * cfg.wave_seconds
                         * 1000.0)
+    _adaptive_prior = (cfg.per_host_delay_s * 1000.0
+                       / cfg.adaptive_delay_factor)
     link_edges: set[tuple[str, str]] = set()  # priority_mode="pagerank"
     ranks_cache: dict[str, float] = {}        # committed rank table twin
     admitted_log: list[tuple[int, str, int, str, int]] = []
@@ -176,15 +179,13 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
             cands: list[int] = []
             if host in budget_override:
                 cands.append(budget_override[host])
-            if cfg.adaptive_politeness and host in lat_obs:
+            if cfg.adaptive_politeness and host in lat_est:
                 from axora_spark.operators.adaptive import \
-                    latency_budget_py
-                cands.append(latency_budget_py(
-                    lat_obs[host], num_ms=_adaptive_num_ms,
+                    budget_from_est_py
+                cands.append(budget_from_est_py(
+                    lat_est[host], num_ms=_adaptive_num_ms,
                     delay_factor=cfg.adaptive_delay_factor,
                     min_delay_ms=cfg.per_host_delay_s * 1000.0,
-                    prior_ms=cfg.per_host_delay_s * 1000.0
-                    / cfg.adaptive_delay_factor,
                     max_budget=cfg.host_budget))
             budget = min(cands) if cands else cfg.host_budget
             if cfg.domain_quota is not None:
@@ -241,20 +242,21 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                                         max(prev[1], p),
                                         min(prev[2], wave + 1))
         if cfg.adaptive_politeness:
-            # record this wave's latency observations (engine:
-            # adaptive.observe_fetches → fetch_obs append); fetch
-            # errors carry no latency, mirroring the isNotNull filter
-            per_host_ms: dict[str, list[float]] = {}
+            # fold this wave's latency observations into the EWMA
+            # state (engine: observe_fetches → merge_latency_state
+            # overwrite); fetch errors carry no latency, mirroring the
+            # isNotNull filter; int() mirrors the per-row truncation
+            per_host_ms: dict[str, list[int]] = {}
             for host, u, _rank in admitted:
                 page = page_by_url.get(u)
                 if page is not None and page.get("fetch_ms") is not None:
-                    # integer-ms contract (observe_fetches truncates
-                    # per row before summing)
                     per_host_ms.setdefault(host, []).append(
                         int(page["fetch_ms"]))
+            from axora_spark.operators.adaptive import fold_latency_py
             for h, vals in per_host_ms.items():
-                lat_obs.setdefault(h, []).append(
-                    (wave, sum(vals) / len(vals)))
+                lat_est[h] = fold_latency_py(
+                    lat_est.get(h), sum(vals) / len(vals),
+                    prior_ms=_adaptive_prior)
         if cfg.domain_quota is not None:
             # exhausted hosts leave the frontier entirely — deferred AND
             # newly discovered rows (engine: the broadcast anti-join on

@@ -98,7 +98,7 @@ def init_tables(catalog: SnapshotCatalog) -> None:
     catalog.create_table("links", schemas.LINKS)
     catalog.create_table("ranks", schemas.RANKS)
     catalog.create_table("trap_state", schemas.TRAP_STATE)
-    catalog.create_table("fetch_obs", schemas.FETCH_OBS)
+    catalog.create_table("fetch_state", schemas.FETCH_STATE)
 
 
 def _record_lineage(spark: SparkSession, catalog: SnapshotCatalog, wave: int,
@@ -159,7 +159,7 @@ def expire_history(spark: SparkSession, catalog: SnapshotCatalog,
 # every table a wave mutates — the rollback set for mid-wave crash recovery
 _MANAGED_TABLES = ("frontier", "seen", "admitted", "metrics", "links",
                    "ranks", "documents", "chunks", "vectors",
-                   "sigs", "dup_log", "fetch_obs")
+                   "sigs", "dup_log", "fetch_state")
 
 
 def _rollback_incomplete_wave(spark: SparkSession, catalog: SnapshotCatalog,
@@ -368,20 +368,20 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                                   .alias("_cap")))
         adaptive_frame = None
         if cfg.adaptive_politeness:
-            # latency-adaptive budgets from the crawl's own observation
-            # state (operators/adaptive.py): delay floor = the static
-            # politeness delay, so adaptivity only THROTTLES slow hosts
-            # — never exceeds the configured ceiling. Hosts without
+            # latency-adaptive budgets from the incrementally-folded
+            # EWMA state (operators/adaptive.py): one O(hosts) row-wise
+            # projection — no window, no history rescan (the trap_state
+            # lesson: the log-based form re-folded hosts × waves rows
+            # every wave). Delay floor = the static politeness delay,
+            # so adaptivity only THROTTLES slow hosts; hosts without
             # observations are absent from the frame → static budget.
             from axora_spark.operators import adaptive
-            adaptive_frame = adaptive.latency_budgets(
-                catalog.read(spark, "fetch_obs"),
+            adaptive_frame = adaptive.budgets_from_state(
+                catalog.read(spark, "fetch_state"),
                 num_ms=cfg.per_host_parallelism * cfg.wave_seconds
                 * 1000.0,
                 delay_factor=cfg.adaptive_delay_factor,
                 min_delay_ms=cfg.per_host_delay_s * 1000.0,
-                prior_ms=cfg.per_host_delay_s * 1000.0
-                / cfg.adaptive_delay_factor,
                 max_budget=cfg.host_budget)
         admitted, deferred = politeness.admit(
             candidates, cfg.host_budget, salt=cfg.hot_host_salt,
@@ -417,14 +417,16 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
 
         sid_obs = None
         if cfg.adaptive_politeness and "fetch_ms" in fetched.columns:
-            # map-side collapse to (host, wave, sum_ms, n) BEFORE the
-            # append — the state table grows by hosts-per-wave, never
-            # URLs-per-wave; replaying a rolled-back wave re-derives
-            # identical rows (pure function of the wave's fetches)
+            # per-URL latency collapses map-side to one mean per host,
+            # then FOLDS into the O(hosts) EWMA state (overwrite —
+            # lineage rollback makes a replayed wave fold exactly once)
             from axora_spark.operators import adaptive
-            sid_obs = catalog.append(
-                spark, "fetch_obs",
-                adaptive.observe_fetches(fetched, wave))
+            merged = adaptive.merge_latency_state(
+                catalog.read(spark, "fetch_state"),
+                adaptive.observe_fetches(fetched, wave),
+                prior_ms=cfg.per_host_delay_s * 1000.0
+                / cfg.adaptive_delay_factor)
+            sid_obs = catalog.overwrite(spark, "fetch_state", merged)
 
         # branch B — content pipeline
         if content_sink is not None:
@@ -539,7 +541,7 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
         if sid_links is not None:
             lineage_entries.append(("links", sid_links, 0, 0))
         if sid_obs is not None:
-            lineage_entries.append(("fetch_obs", sid_obs, 0, 0))
+            lineage_entries.append(("fetch_state", sid_obs, 0, 0))
         if sid_ranks is not None:
             lineage_entries.append(("ranks", sid_ranks, 0, 0))
         # content tables (written by the sink) join the rollback set so a

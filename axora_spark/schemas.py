@@ -52,14 +52,26 @@ TRAP_STATE = T.StructType([
     T.StructField("max_params", T.IntegerType(), False),
 ])
 
-# Latency-adaptive politeness observation state (operators/adaptive.py):
-# host × wave grain — the wave loop pre-aggregates per-URL latency
-# map-side, so this grows by #hosts-fetched rows per wave
+# Latency-adaptive politeness observation rows (operators/adaptive.py):
+# host × wave grain — per-URL latency collapsed map-side. The crawl loop
+# does NOT accumulate these (that table would grow hosts × waves over a
+# long session); it folds each wave's rows into FETCH_STATE below. The
+# log shape remains the input contract of the analytics-side
+# latency_budgets operator (q_adaptive_budgets).
 FETCH_OBS = T.StructType([
     T.StructField("host", T.StringType(), True),
     T.StructField("wave", T.IntegerType(), False),
     T.StructField("sum_ms", T.LongType(), True),
     T.StructField("n", T.LongType(), False),
+])
+
+# Incrementally-folded EWMA latency state: ONE row per observed host
+# however long the session runs (the trap_state lesson); the wave loop
+# overwrites it each wave and lineage rollback makes replays fold once
+FETCH_STATE = T.StructType([
+    T.StructField("host", T.StringType(), True),
+    T.StructField("est_ms", T.DoubleType(), False),
+    T.StructField("n_waves", T.IntegerType(), False),
 ])
 
 # Admission log: the deterministic crawl order (W4)

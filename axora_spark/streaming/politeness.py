@@ -97,7 +97,7 @@ def politeness_stream(urls: DataFrame, budget: int = 5,
     URL stream so each host meters at its own rate (hosts absent from
     the frame use `budget`). This is the continuous twin of W1's
     budget_frame seam: rate derivation stays a batch job on the
-    fetch_obs state table, the stream only METERS — the same
+    fetch_state table, the stream only METERS — the same
     batch-computes/stream-joins split as pagerank priorities."""
     src = urls.select("host", "url", "ts")
     per_host = budgets is not None

@@ -97,15 +97,17 @@ def test_adaptive_crawl_identical_to_oracle(spark, catalog, fixture_pages):
             if h != SLOW_HOST and per_wave[(w, h)] == static_budget]
     assert fast, "no fast host ever used the full static budget"
 
-    # observation state is (host, wave)-grain: one row per fetched host
-    obs = catalog.read(spark, "fetch_obs")
-    assert obs.groupBy("host", "wave").count() \
-              .filter(F.col("count") > 1).count() == 0
+    # folded EWMA state is O(hosts): exactly one row per observed host,
+    # however many waves ran (the trap_state lesson)
+    st = catalog.read(spark, "fetch_state")
+    assert st.groupBy("host").count() \
+             .filter(F.col("count") > 1).count() == 0
+    assert st.filter(F.col("n_waves") > 1).count() > 0  # folding happened
 
 
 def test_adaptive_resume_identical(spark, catalog, fixture_pages):
     """A crash+resume mid-session must reproduce the adaptive session
-    exactly: budgets derive from the fetch_obs STATE table, which is
+    exactly: budgets derive from the fetch_state EWMA table, which is
     lineage-managed — a rolled-back wave's observations must not leak
     into the resumed budgets."""
     cfg = datagen.fixture_config(fixture_pages, adaptive_politeness=True)
@@ -117,11 +119,12 @@ def test_adaptive_resume_identical(spark, catalog, fixture_pages):
     corpus = spark.createDataFrame(fixture_pages, schema)
 
     crawl.run_crawl(spark, catalog, cfg, corpus, stop_after_wave=1)
-    # mid-wave-2 crash: a fetch_obs append committed, state not saved —
-    # resume must roll it back or wave 2's budgets double-count it
-    partial = spark.createDataFrame(
-        [("hot.example.org", 2, 999_999, 1)], schemas.FETCH_OBS)
-    catalog.append(spark, "fetch_obs", partial)
+    # mid-wave-2 crash: the wave's fetch_state OVERWRITE committed,
+    # state file not saved — resume must roll back to the wave-1
+    # snapshot or the replayed wave would fold its mean twice
+    poisoned = spark.createDataFrame(
+        [("hot.example.org", 999_999.0, 99)], schemas.FETCH_STATE)
+    catalog.overwrite(spark, "fetch_state", poisoned)
 
     crawl.run_crawl(spark, catalog, cfg, corpus, resume=True)
 
@@ -129,9 +132,9 @@ def test_adaptive_resume_identical(spark, catalog, fixture_pages):
            for r in catalog.read(spark, "admitted")
            .orderBy("wave", "host", "rank").collect()]
     assert got == want.admitted
-    # the poisoned observation is gone from the final state
-    assert catalog.read(spark, "fetch_obs") \
-        .filter("sum_ms = 999999").count() == 0
+    # the poisoned state is gone from the final table
+    assert catalog.read(spark, "fetch_state") \
+        .filter("est_ms = 999999.0 OR n_waves = 99").count() == 0
 
 
 def test_robots_and_adaptive_compose_most_polite(spark, catalog,
@@ -169,3 +172,33 @@ def test_robots_and_adaptive_compose_most_polite(spark, catalog,
                 for r in catalog.read(spark, "metrics").collect()}
     slow = sorted(w for (w, h) in per_wave if h == SLOW_HOST)
     assert any(per_wave[(w, SLOW_HOST)] == 1 for w in slow[1:])
+
+
+def test_state_fold_equals_log_closed_form(spark):
+    """The incremental fold over per-wave obs must equal the log-based
+    closed form bit-for-bit (integer-ms means) — the contract that lets
+    the crawl swap the growing log for O(hosts) state."""
+    rows = [("a", 0, 1000, 2), ("a", 1, 9000, 3), ("a", 2, 4000, 1),
+            ("b", 0, 100, 1), ("b", 2, 300, 3),
+            ("c", 1, 50_000, 4)]
+    num_ms, prior = 30_000.0, 2500.0
+    obs = spark.createDataFrame(rows, schemas.FETCH_OBS)
+    log_b = {r.host: r._budget
+             for r in adaptive.latency_budgets(
+                 obs, num_ms=num_ms, prior_ms=prior,
+                 min_delay_ms=5000.0, max_budget=6).collect()}
+    # replay wave by wave through the state fold
+    state = spark.createDataFrame([], schemas.FETCH_STATE)
+    for w in (0, 1, 2):
+        wave_obs = obs.filter(F.col("wave") == w)
+        state = spark.createDataFrame(
+            adaptive.merge_latency_state(state, wave_obs,
+                                         prior_ms=prior).collect(),
+            schemas.FETCH_STATE)
+    st_b = {r.host: r._budget
+            for r in adaptive.budgets_from_state(
+                state, num_ms=num_ms, min_delay_ms=5000.0,
+                max_budget=6).collect()}
+    assert st_b == log_b
+    n_waves = {r.host: r.n_waves for r in state.collect()}
+    assert n_waves == {"a": 3, "b": 2, "c": 1}
