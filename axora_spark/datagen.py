@@ -302,3 +302,12 @@ def big_frontier(spark: SparkSession, n: int, n_hosts: int = 50,
                     F.lit(0).alias("discovered_wave"),
                     F.lit("pending").alias("status"))
             .withColumn("url_hash", F.xxhash64(F.col("url"))))
+
+
+def declared_latency_col():
+    """Deterministic 200-599 ms per-host fetch_ms column (the fixture
+    stand-in for fetch_stage's measured transport latency) — single
+    definition shared by cli.py --adaptive and
+    tools/bench_crawl_e2e.py --governance (code-review r5)."""
+    return (F.lit(200) + F.pmod(F.xxhash64("host"), F.lit(400))) \
+        .cast("long")

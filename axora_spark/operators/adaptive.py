@@ -68,15 +68,16 @@ def observe_fetches(fetched: DataFrame, wave: int) -> DataFrame:
 
 
 def _budget_col(est: Column, num_ms: float, delay_factor: float,
-                min_delay_ms: float, min_budget: int,
+                min_delay_ms, min_budget: int,
                 max_budget: int | None) -> Column:
     # hard 1 ms delay floor: min_delay_ms=0 (politeness disabled) with
     # an all-zero-latency host would otherwise divide by zero — the
     # Spark side would null-propagate to min_budget while the Python
     # twin raised (code-review r5). round-before-floor collapses
     # summation-order ulps away from quotient boundaries.
-    delay = F.greatest(est * F.lit(delay_factor), F.lit(min_delay_ms),
-                       F.lit(1.0))
+    floor_col = min_delay_ms if isinstance(min_delay_ms, Column) \
+        else F.lit(min_delay_ms)
+    delay = F.greatest(est * F.lit(delay_factor), floor_col, F.lit(1.0))
     b = F.floor(F.round(F.lit(num_ms) / delay, 6))
     b = F.greatest(F.lit(min_budget).cast("long"), b)
     if max_budget is not None:
@@ -140,10 +141,13 @@ def latency_budget_py(means: list[tuple[int, float]], num_ms: float,
 #
 #     est' = (1-alpha) * coalesce(est, prior) + alpha * mean_ms(wave)
 #
-# The fold IS the closed form (same terms, same order), and because the
-# engine and the oracle execute the identical operation sequence the
-# results are bit-identical for ANY latencies — the summation-order
-# caveat of the log-based closed form disappears. Per-wave cost: one
+# ENGINE and ORACLE both execute this identical fold sequence, so
+# engine↔oracle parity is bit-exact for ANY latencies. (The fold and
+# the log-based closed form in latency_budgets compute the same terms
+# but round at different points — equal bit-for-bit on exact-dyadic
+# means (pinned by test), within ulps otherwise; the round-guards in
+# _budget_col stay load-bearing for the ANALYTICS form's DuckDB
+# parity.) Per-wave cost: one
 # full-outer keyed merge of two host-cardinality frames; state size is
 # O(hosts) however long the session runs. Crash replay is handled the
 # same way as every overwrite table: lineage rollback restores the
@@ -176,13 +180,29 @@ def merge_latency_state(state: DataFrame, wave_obs: DataFrame,
 def budgets_from_state(state: DataFrame, num_ms: float,
                        delay_factor: float = 2.0,
                        min_delay_ms: float = 100.0, min_budget: int = 1,
-                       max_budget: int | None = None) -> DataFrame:
+                       max_budget: int | None = None,
+                       delay_floors: DataFrame | None = None) -> DataFrame:
     """(host, _budget) from the folded state — row-wise arithmetic,
     no window, no aggregation: the per-wave budget derivation is a
-    single O(hosts) projection."""
+    single O(hosts) projection.
+
+    delay_floors: optional (host, _floor_ms) frame of PER-HOST delay
+    floors (robots crawl-delay — a host that declared its own delay is
+    floored there, not at the global default, so a robots-fast host
+    keeps its robots-granted budget unless its OBSERVED latency says
+    otherwise; code-review r5: a global floor silently capped
+    robots-permitted fast hosts at the static budget forever). With the
+    floor in the delay, budget ≤ floor(num_ms / floor_ms) automatically
+    — an explicit max_budget is usually redundant."""
+    floor_col = F.lit(min_delay_ms)
+    if delay_floors is not None:
+        state = state.join(
+            F.broadcast(delay_floors.select("host", "_floor_ms")),
+            on="host", how="left")
+        floor_col = F.coalesce(F.col("_floor_ms"), F.lit(min_delay_ms))
     return state.select(
         "host",
-        _budget_col(F.col("est_ms"), num_ms, delay_factor, min_delay_ms,
+        _budget_col(F.col("est_ms"), num_ms, delay_factor, floor_col,
                     min_budget, max_budget).alias("_budget"))
 
 

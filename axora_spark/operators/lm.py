@@ -30,11 +30,15 @@ from axora_spark.functions.words import words_col
 DEFAULT_ALPHA = 0.5  # add-α smoothing; exact in doubles (integer + 0.5)
 
 
-def bigram_types(docs: DataFrame) -> DataFrame:
+def bigram_types(docs: DataFrame, materialize: bool = False) -> DataFrame:
     """(doc_id, source, w1, w2, cnt): per-doc lowercased bigram-type
-    counts — the one token-level aggregation; lazily checkpointed since
-    it feeds both the model aggregation and the scored join (branches
-    don't bridge via exchange reuse)."""
+    counts — the one token-level aggregation. materialize=True lazily
+    checkpoints it for dual consumers (the self-scoring path feeds both
+    the model aggregation and the scored join; branches don't bridge
+    via exchange reuse). Single-consumer frames (both sides of the
+    two-corpus path) skip the checkpoint — it would only pin
+    token-scale blocks in executor storage for nothing (code-review
+    r5)."""
     wd = docs.select("doc_id", "source",
                      words_col(F.lower(F.col("text"))).alias("w"))
     n = F.greatest(F.size("w") - 1, F.lit(0))
@@ -44,9 +48,9 @@ def bigram_types(docs: DataFrame) -> DataFrame:
                                              b.alias("w2")))
     bg = (wd.select("doc_id", "source", F.explode(pairs).alias("p"))
           .select("doc_id", "source", "p.w1", "p.w2"))
-    return (bg.groupBy("doc_id", "source", "w1", "w2")
-            .agg(F.count("*").alias("cnt"))
-            .localCheckpoint(eager=False))
+    tf = (bg.groupBy("doc_id", "source", "w1", "w2")
+          .agg(F.count("*").alias("cnt")))
+    return tf.localCheckpoint(eager=False) if materialize else tf
 
 
 def bigram_model(train_tf: DataFrame,
@@ -70,12 +74,19 @@ def lm_perplexity(docs: DataFrame, train: DataFrame | None = None,
                   alpha: float = DEFAULT_ALPHA) -> DataFrame:
     """(doc_id, source, n_bigrams, nats_raw): mean model cross-entropy
     (nats/bigram) of every `docs` document under the LM trained on
-    `train` (default: docs itself — the driver-query form). Bigrams
-    unseen as train CONTEXTS (w1 not in train) drop out of the inner
-    join — the two-corpus contract scores docs against what the
-    trusted corpus can judge; docs with no judgeable bigram emit no
+    `train` (default: docs itself — the driver-query form).
+
+    Judged-bigram contract: any (w1, w2) PAIR absent from train drops
+    out of the inner join — including novel continuations of a known
+    context, for which the add-α model would define a smoothed penalty
+    α/(c1+αV). nats_raw is therefore the mean over the doc's judged
+    bigrams only (it biases fluent-side for disfluent docs); pair it
+    with n_bigrams — the judged count — which is the coverage signal a
+    mixing pipeline gates on. The smoothed-penalty variant is a left
+    join on (w1, w2) plus a w1-keyed fallback join; this operator
+    keeps the single model join. Docs with no judgeable bigram emit no
     row."""
-    docs_tf = bigram_types(docs)
+    docs_tf = bigram_types(docs, materialize=train is None)
     train_tf = docs_tf if train is None else bigram_types(train)
     model = bigram_model(train_tf, alpha)
     return (docs_tf.join(model.hint("shuffle_hash"), ["w1", "w2"])

@@ -105,6 +105,7 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
     seen; crawl-delay overrides the host's budget)."""
     robots_rules: dict = {}
     budget_override: dict[str, int] = {}
+    robots_delays_ms: dict[str, float] = {}  # adaptive delay floors
     if cfg.robots_mode and robots_txt:
         from axora_spark.operators import robots as robots_op
         robots_rules = {h: robots_op.parse_robots(t)
@@ -114,6 +115,7 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                 budget_override[h] = robots_op.host_budget_with_robots(
                     cfg.host_budget, cfg.wave_seconds,
                     cfg.per_host_parallelism, r.crawl_delay)
+                robots_delays_ms[h] = float(r.crawl_delay) * 1000.0
 
     page_by_url = {urlnorm.canonicalize(p["url"]): p for p in pages}
 
@@ -185,8 +187,9 @@ def simulate(pages: list[dict], cfg: CrawlConfig,
                 cands.append(budget_from_est_py(
                     lat_est[host], num_ms=_adaptive_num_ms,
                     delay_factor=cfg.adaptive_delay_factor,
-                    min_delay_ms=cfg.per_host_delay_s * 1000.0,
-                    max_budget=cfg.host_budget))
+                    # per-host floor: robots crawl-delay where declared
+                    min_delay_ms=robots_delays_ms.get(
+                        host, cfg.per_host_delay_s * 1000.0)))
             budget = min(cands) if cands else cfg.host_budget
             if cfg.domain_quota is not None:
                 # cumulative per-host cap (engine: politeness.admit

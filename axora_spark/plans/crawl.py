@@ -272,7 +272,10 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
     robots_txt: host → robots.txt body. Only consulted when
     cfg.robots_mode (north_rule target mode): disallowed URLs are dropped
     from the candidate set (never admitted, never marked seen), and a
-    host's crawl-delay overrides its politeness budget (SEMANTICS.md).
+    host's crawl-delay sets its politeness budget (SEMANTICS.md) —
+    composed MOST-POLITE-WINS (min) with the latency-adaptive budget
+    when cfg.adaptive_politeness is also on, with the robots delay as
+    that host's adaptive delay floor.
     compact_every: every N completed waves, compact the `seen` table
     (the one table that grows by one data dir per wave — after
     thousands of waves its reads would open thousands of dirs).
@@ -282,6 +285,7 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
     """
     robots_rules = None
     budget_overrides: dict[str, int] = {}
+    robots_delays_ms: dict[str, float] = {}  # adaptive delay floors
     if cfg.robots_mode and robots_txt:
         from axora_spark.operators import robots as robots_op
         robots_rules = {h: robots_op.parse_robots(t)
@@ -291,6 +295,7 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                 budget_overrides[h] = robots_op.host_budget_with_robots(
                     cfg.host_budget, cfg.wave_seconds,
                     cfg.per_host_parallelism, r.crawl_delay)
+                robots_delays_ms[h] = float(r.crawl_delay) * 1000.0
     state = _load_state(catalog) if resume else None
     if state is None:
         init_tables(catalog)
@@ -311,6 +316,11 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
                  "admitted_count": 0}
         _save_state(catalog, state)
     else:
+        # forward-compat: a warehouse created before a managed table
+        # existed must stay resumable — CREATE IF NOT EXISTS the
+        # newest tables before rollback touches them (code-review r5:
+        # resuming a pre-fetch_state warehouse with adaptive on raised)
+        catalog.create_table("fetch_state", schemas.FETCH_STATE)
         # mid-wave crash recovery: roll every table back to the last
         # COMPLETE wave's snapshots before re-entering the loop
         _rollback_incomplete_wave(spark, catalog, state["next_wave"])
@@ -375,14 +385,26 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
             # every wave). Delay floor = the static politeness delay,
             # so adaptivity only THROTTLES slow hosts; hosts without
             # observations are absent from the frame → static budget.
+            # per-host floor = the host's robots crawl-delay where
+            # declared (else the static delay): a robots-fast host
+            # keeps its robots-granted budget unless its OBSERVED
+            # latency says otherwise, and budget ≤ num/floor makes an
+            # explicit max cap redundant (code-review r5: the global
+            # floor + host_budget cap silently demoted robots-permitted
+            # fast hosts forever after their first observation)
             from axora_spark.operators import adaptive
+            floors = None
+            if robots_delays_ms:
+                floors = spark.createDataFrame(
+                    [(h, d) for h, d in robots_delays_ms.items()],
+                    "host string, _floor_ms double")
             adaptive_frame = adaptive.budgets_from_state(
                 catalog.read(spark, "fetch_state"),
                 num_ms=cfg.per_host_parallelism * cfg.wave_seconds
                 * 1000.0,
                 delay_factor=cfg.adaptive_delay_factor,
                 min_delay_ms=cfg.per_host_delay_s * 1000.0,
-                max_budget=cfg.host_budget)
+                delay_floors=floors)
         admitted, deferred = politeness.admit(
             candidates, cfg.host_budget, salt=cfg.hot_host_salt,
             budget_overrides=budget_overrides or None,

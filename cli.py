@@ -91,13 +91,8 @@ def main(argv: list[str] | None = None) -> int:
     else:
         corpus = spark.createDataFrame(pages, schemas.LINK_GRAPH)
     if args.adaptive:
-        # deterministic declared latencies (the fixture stand-in for
-        # fetch_stage's measured fetch_ms on the real transport path)
-        from pyspark.sql import functions as F
-        corpus = corpus.withColumn(
-            "fetch_ms",
-            (F.lit(200) + F.pmod(F.xxhash64("host"), F.lit(400)))
-            .cast("long"))
+        corpus = corpus.withColumn("fetch_ms",
+                                   datagen.declared_latency_col())
     run = crawl.run_crawl(
         spark, catalog, cfg, corpus, resume=args.resume,
         content_sink=content.make_content_sink(cfg) if args.content else None,

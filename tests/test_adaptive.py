@@ -202,3 +202,64 @@ def test_state_fold_equals_log_closed_form(spark):
     assert st_b == log_b
     n_waves = {r.host: r.n_waves for r in state.collect()}
     assert n_waves == {"a": 3, "b": 2, "c": 1}
+
+
+def test_robots_fast_host_keeps_raised_budget(spark, catalog,
+                                              fixture_pages):
+    """A robots crawl-delay SHORTER than the static delay raises the
+    host's budget; adaptivity must not silently demote it back once the
+    host is observed fast — the adaptive delay floor is the host's OWN
+    robots delay (code-review r5). Hot host: delay 2s -> budget 15,
+    observed 400 ms -> adaptive floor(30000/max(800, 2000)) = 15."""
+    pages = [dict(r) for r in fixture_pages]
+    for r in pages:
+        r["fetch_ms"] = FAST_MS  # every host fast, incl. the hot one
+    robots = {SLOW_HOST: "User-agent: *\nCrawl-delay: 2\n"}
+    cfg = datagen.fixture_config(pages, adaptive_politeness=True,
+                                 robots_mode=True)
+    want = oracle.simulate(pages, cfg, robots_txt=robots)
+
+    from pyspark.sql import types as T
+    schema = T.StructType(list(schemas.LINK_GRAPH.fields)
+                          + [T.StructField("fetch_ms", T.LongType())])
+    corpus = spark.createDataFrame(pages, schema)
+    crawl.run_crawl(spark, catalog, cfg, corpus, robots_txt=robots)
+
+    got = [(r.wave, r.host, r.rank, r.url, r.depth)
+           for r in catalog.read(spark, "admitted")
+           .orderBy("wave", "host", "rank").collect()]
+    assert got == want.admitted
+    # the raised budget survives observation: some post-observation
+    # wave admits MORE than the static budget (6) on the hot host
+    per_wave = {(r.wave, r.host): r.admitted
+                for r in catalog.read(spark, "metrics").collect()}
+    slow = sorted(w for (w, h) in per_wave if h == SLOW_HOST)
+    assert any(per_wave[(w, SLOW_HOST)] > cfg.host_budget
+               for w in slow[1:]), per_wave
+
+
+def test_resume_pre_fetch_state_warehouse(spark, catalog, fixture_pages):
+    """A warehouse created before the fetch_state table existed must
+    stay resumable when adaptivity is turned on at resume time
+    (code-review r5: the resume branch skips init_tables, so the read
+    raised). Faithful simulation: the interrupted session ran WITHOUT
+    adaptivity (so no fetch_state lineage exists — an old warehouse has
+    none) and the table directory is absent."""
+    import shutil
+    from pyspark.sql import types as T
+    schema = T.StructType(list(schemas.LINK_GRAPH.fields)
+                          + [T.StructField("fetch_ms", T.LongType())])
+    corpus = spark.createDataFrame(fixture_pages, schema)
+
+    cfg_off = datagen.fixture_config(fixture_pages)
+    crawl.run_crawl(spark, catalog, cfg_off, corpus, stop_after_wave=1)
+    # simulate the old-warehouse layout: no fetch_state table at all
+    shutil.rmtree(catalog._table_dir("fetch_state"))
+    assert not catalog.table_exists("fetch_state")
+
+    cfg_on = datagen.fixture_config(fixture_pages,
+                                    adaptive_politeness=True)
+    run = crawl.run_crawl(spark, catalog, cfg_on, corpus, resume=True)
+    assert run.waves_run >= 2                      # completed, no raise
+    assert catalog.table_exists("fetch_state")     # recreated, refilled
+    assert catalog.read(spark, "fetch_state").count() > 0

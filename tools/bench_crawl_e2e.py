@@ -193,10 +193,9 @@ def main() -> None:
         t0 = time.time()
         corpus_df = build_corpus(spark, H, K, args.dup_frac)
         if args.governance:
+            from axora_spark import datagen
             corpus_df = corpus_df.withColumn(
-                "fetch_ms",
-                (F.lit(200) + F.pmod(F.xxhash64("host"), F.lit(400)))
-                .cast("long"))
+                "fetch_ms", datagen.declared_latency_col())
         corpus_df.write.mode("overwrite") \
             .parquet(os.path.join(store, "corpus"))
         corpus = spark.read.parquet(os.path.join(store, "corpus"))
