@@ -986,6 +986,86 @@ FROM documents
 """
 
 
+# GPT-style sequence packing (concat-and-chunk): pre-training prep
+# concatenates the corpus token stream per source in a canonical order
+# and cuts it into fixed L-token blocks; every document maps to its
+# block span (first_block..last_block) and offset. Pure integer
+# arithmetic — no float anywhere.
+_PACK_L = 2048      # tokens per training block
+_PACK_BKT = 1024    # doc_ids per cumsum bucket (two-pass prefix sum)
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map every document to its span in the per-source packed token
+    stream (docs concatenated in doc_id order, cut into L=2048-token
+    blocks) — the concat-and-chunk packing GPT-style pre-training uses;
+    the block ids are what a training-data loader shuffles.
+
+    Scale shape — the prefix sum is TWO-PASS, never a per-source
+    window over the full doc table (a single window task per source is
+    the IVF-window mistake at 10^9 docs/source): pass 1 computes the
+    exclusive running sum WITHIN (source, doc_id-range bucket)
+    partitions (bounded rows each), pass 2 computes bucket-level
+    prefix offsets on the dwarf (source, bucket, sum) table, and a
+    co-partitioned join adds the two — the doc-level rows are
+    exchanged ONCE on (source, bucket) and that partitioning is reused
+    by the window and the join (plan-gated). Empty docs (0 estimated
+    tokens) contribute nothing to the stream and emit no row."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    t = (docs.select("doc_id", "source",
+                     token_count_col(F.col("text")).cast("long")
+                     .alias("n_tok"))
+         .filter(F.col("n_tok") >= 1)
+         .withColumn("_bkt",
+                     F.floor(F.col("doc_id") / _PACK_BKT).cast("long"))
+         # feeds the in-bucket window AND the bucket-sum aggregate —
+         # branches don't bridge via exchange reuse (the tfidf lesson)
+         .localCheckpoint(eager=False))
+    w_in = (Window.partitionBy("source", "_bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    in_off = t.withColumn("_in_off",
+                          F.coalesce(F.sum("n_tok").over(w_in),
+                                     F.lit(0)))
+    bsums = t.groupBy("source", "_bkt").agg(F.sum("n_tok").alias("_bs"))
+    w_b = (Window.partitionBy("source").orderBy("_bkt")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    pre = (bsums.withColumn("_pre",
+                            F.coalesce(F.sum("_bs").over(w_b), F.lit(0)))
+           .select("source", "_bkt", "_pre"))
+    c = (in_off.join(pre, ["source", "_bkt"])
+         .withColumn("start_off",
+                     (F.col("_pre") + F.col("_in_off")).cast("long")))
+    L = float(_PACK_L)  # exact double; offsets << 2^53 so / is exact
+    first = F.floor(F.col("start_off") / L).cast("long")
+    last = F.floor((F.col("start_off") + F.col("n_tok") - 1) / L) \
+        .cast("long")
+    return c.select("doc_id", "source", "n_tok", "start_off",
+                    first.alias("first_block"), last.alias("last_block"),
+                    (last - first + 1).alias("n_blocks"))
+
+
+SQL_SEQ_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(coalesce(list_sum(list_transform({_WORDS_SQL},
+      w -> CAST(ceil(length(w)/4.0) AS INT))), 0) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_off
+  FROM t WHERE n_tok >= 1)
+SELECT doc_id, source, n_tok, start_off,
+  CAST(floor(start_off / {float(_PACK_L)}) AS BIGINT) AS first_block,
+  CAST(floor((start_off + n_tok - 1) / {float(_PACK_L)}) AS BIGINT)
+    AS last_block,
+  CAST(floor((start_off + n_tok - 1) / {float(_PACK_L)})
+       - floor(start_off / {float(_PACK_L)}) + 1 AS BIGINT) AS n_blocks
+FROM c
+"""
+
+
 # fixture-oracle tables (tools/make_fixtures.py): expected outputs of the
 # non-SQL-expressible operators, precomputed by the engine's own pure-Python
 # cores over the UNION of every sf dir's texts, keyed by sha256(text) —
@@ -3773,6 +3853,7 @@ QUERIES = {
     "c4_line_filters": q_c4_line_filters,
     "tfidf_top_terms": q_tfidf_top_terms,
     "lm_perplexity": q_lm_perplexity,
+    "seq_packing": q_seq_packing,
     "pipeline_funnel": q_pipeline_funnel,
     "sha256_hash": q_sha256,
     "interleaved_spans": q_interleaved_spans,
@@ -3845,6 +3926,7 @@ ORACLES = {
     "c4_line_filters": SQL_C4_LINE_FILTERS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "seq_packing": SQL_SEQ_PACKING,
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "sha256_hash": SQL_SHA256,
     "interleaved_spans": SQL_INTERLEAVED_SPANS,

@@ -27,7 +27,7 @@ SUBSET = ["frontier_filters", "politeness_rank", "quality_scores",
           "dedup_clusters", "gopher_quality", "c4_line_filters",
           "tfidf_top_terms", "url_canonicalize", "chunk_markdown",
           "contamination", "mix_sample", "pagerank", "hll_distinct",
-          "lm_perplexity"]
+          "lm_perplexity", "seq_packing"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

@@ -428,3 +428,28 @@ def test_lm_perplexity_no_vocab_broadcast(spark):
     assert "BroadcastHashJoin" not in final
     # the V cross join broadcasts exactly one aggregated row
     assert final.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_seq_packing_two_pass_prefix_sum(spark):
+    # the prefix sum must NEVER run a per-source window over the full
+    # doc table (one task per source at 10^9 docs/source): the
+    # doc-level window partitions by (source, _bkt); the only
+    # source-alone window runs on the dwarf bucket-sums frame, and the
+    # doc-level (source, _bkt) exchange is reused by window + join
+    import re
+    from axora_spark.queries import q_seq_packing
+    plan = _physical(q_seq_packing(spark, SF))
+    final = plan.split("== Initial Plan ==")[0]
+    specs = re.findall(r"windowspecdefinition\(([a-zA-Z_#0-9, ]+?) ASC",
+                       final)
+    keys = {tuple(p.split("#")[0] for p in s.split(", ")[:-1])
+            for s in specs}
+    assert keys == {("source", "_bkt"), ("source",)}, specs
+    # the source-alone window must sit above the bucket AGGREGATE
+    # (dwarf frame), not the raw doc rows: exactly one HashAggregate
+    # chain feeds it — cheap structural proxy: the doc-level exchange
+    # keys are (source, _bkt) only
+    parts = re.findall(r"hashpartitioning\(([a-zA-Z_#0-9, ]+?)\)", final)
+    pkeys = {tuple(p.split("#")[0] for p in q.split(", ")[:-1])
+             for q in parts}
+    assert ("source", "_bkt") in pkeys, parts
