@@ -1364,6 +1364,77 @@ WHERE CASE host
 """
 
 
+# Mojibake / encoding-noise detection (the ftfy-class cleanup gate
+# OSCAR/CCNet pipelines run before anything else): UTF-8 bytes decoded
+# as Latin-1 leave telltale digraphs, and lossy decodes leave U+FFFD.
+# The driver corpus is clean, so the query INJECTS a deterministic
+# artifact blob into doc_id % 7 == 0 docs (repeated 1 + doc_id % 3
+# times) — same synthesis on both engines, so detection is non-trivial
+# and the counts are exact integers end to end.
+_MOJI_MARKERS = ("Ã©", "â€™", "Â", "�")
+_MOJI_BLOB = " cafÃ© donâ€™t Â nbsp �"
+
+
+def _moji_count(txt, m: str):
+    # exact occurrence count via replace-diff — no regex escaping
+    # hazards, identical codepoint semantics on both engines
+    return ((F.length(txt) - F.length(F.replace(txt, F.lit(m))))
+            / F.lit(len(m))).cast("int")
+
+
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc encoding-artifact counts + a clean verdict: occurrences
+    of the classic UTF-8-as-Latin-1 digraphs (Ã©, â€™, Â) and the
+    replacement char U+FFFD. Map-only codegen (length/replace algebra
+    — one scan, no UDF, no shuffle until the driver's collect); the
+    production form is this exact projection feeding a filter, the
+    same class as text_clean/pii_mask."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"),
+                 F.repeat(F.lit(_MOJI_BLOB),
+                          (F.lit(1) + F.col("doc_id") % 3).cast("int"))))\
+        .otherwise(F.col("text"))
+    base = docs.select("doc_id", injected.alias("t"))
+    counts = [_moji_count(F.col("t"), m).alias(f"c{i}")
+              for i, m in enumerate(_MOJI_MARKERS)]
+    c = base.select("doc_id", *counts)
+    total = sum(F.col(f"c{i}") for i in range(len(_MOJI_MARKERS)))
+    return c.select(
+        "doc_id",
+        total.cast("int").alias("moji_total"),
+        F.col(f"c{len(_MOJI_MARKERS) - 1}").alias("n_replacement"),
+        (total == 0).alias("clean"))
+
+
+def _moji_count_sql(m: str) -> str:
+    lit = m.replace("'", "''")
+    return (f"CAST((length(t) - length(replace(t, '{lit}', '')))"
+            f" / {len(m)} AS INT)")
+
+
+SQL_MOJIBAKE = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || repeat('{_MOJI_BLOB}',
+                                  CAST(1 + doc_id % 3 AS INT))
+              ELSE text END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         {", ".join(f"{_moji_count_sql(m)} AS c{i}"
+                    for i, m in enumerate(_MOJI_MARKERS))}
+  FROM b)
+SELECT doc_id,
+       CAST(c0 + c1 + c2 + c3 AS INT) AS moji_total,
+       c3 AS n_replacement,
+       (c0 + c1 + c2 + c3) = 0 AS clean
+FROM c
+"""
+
+
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data text normalization (fully native, codegen'd):
     control chars stripped, whitespace runs collapsed, trimmed,
@@ -3837,6 +3908,7 @@ QUERIES = {
     "media_pipeline": q_media_pipeline,
     "robots_gate": q_robots_gate,
     "text_clean": q_text_clean,
+    "mojibake": q_mojibake,
     "pii_mask": q_pii_mask,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -3910,6 +3982,7 @@ ORACLES = {
     "media_pipeline": SQL_MEDIA_PIPELINE,
     "robots_gate": SQL_ROBOTS_GATE,
     "text_clean": SQL_TEXT_CLEAN,
+    "mojibake": SQL_MOJIBAKE,
     "pii_mask": SQL_PII_MASK,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -54,7 +54,7 @@ HEADLINE = [
     "cube_events", "value_percentiles",
     "recrawl_schedule", "trap_detection", "source_overlap", "anchor_text",
     "hostrank", "mirror_hosts", "lm_perplexity", "adaptive_budgets",
-    "seq_packing",
+    "seq_packing", "mojibake",
 ]
 
 CRAWL_FRONTIER_N = int(os.environ.get("AXORA_BENCH_FRONTIER_N", 2_000_000))
