@@ -231,3 +231,51 @@ def test_cms_python_model_never_underestimates(words):
     for w, t in true.items():
         est = min(counters[i][col(w, i)] for i in range(D))
         assert est >= t
+
+
+@given(st.lists(st.integers(min_value=1, max_value=5000),
+                min_size=1, max_size=60),
+       st.integers(min_value=8, max_value=4096))
+@settings(max_examples=200, deadline=None)
+def test_seq_packing_spans_tile_the_stream(toks, L):
+    # pure model of q_seq_packing's block math: spans are contiguous,
+    # non-overlapping, ordered, and jointly cover ceil(total/L) blocks
+    off = 0
+    spans = []
+    for n in toks:
+        fb, lb = off // L, (off + n - 1) // L
+        spans.append((off, n, fb, lb))
+        assert fb <= lb <= (off + n - 1) // L
+        off += n
+    total = off
+    assert spans[-1][3] == (total - 1) // L     # last block index
+    for (o1, n1, _, lb1), (o2, _, fb2, _) in zip(spans, spans[1:]):
+        assert o2 == o1 + n1                     # contiguous offsets
+        assert fb2 >= lb1 - 1 and fb2 <= lb1 + 1 # blocks never skip
+        assert fb2 == o2 // L
+
+
+@given(st.lists(st.integers(min_value=0, max_value=120_000),
+                min_size=1, max_size=12),
+       st.floats(min_value=1.0, max_value=60_000.0,
+                 allow_nan=False, allow_infinity=False))
+@settings(max_examples=200, deadline=None)
+def test_adaptive_budget_model_bounds_and_monotonicity(means, floor_ms):
+    # fold from the prior, then derive the budget: it must stay within
+    # [min_budget, floor(num/floor)] and be antitone in latency
+    from axora_spark.operators.adaptive import (budget_from_est_py,
+                                                fold_latency_py)
+    num = 180_000.0
+    est = None
+    for m in means:
+        est = fold_latency_py(est, float(m), prior_ms=floor_ms / 2.0)
+    b = budget_from_est_py(est, num_ms=num, min_delay_ms=floor_ms)
+    assert 1 <= b
+    assert b <= max(1, int(num // max(floor_ms, 1.0)) + 1)
+    # doubling every observation can never RAISE the budget
+    est2 = None
+    for m in means:
+        est2 = fold_latency_py(est2, float(m) * 2.0,
+                               prior_ms=floor_ms / 2.0)
+    assert budget_from_est_py(est2, num_ms=num,
+                              min_delay_ms=floor_ms) <= b
