@@ -67,9 +67,13 @@ def minhash_sig_array(docs: DataFrame,
 
 
 def _bands(sigs: DataFrame, rows_per_band: int,
-           n_perm: int) -> DataFrame:
-    """(doc_id, sig) → (doc_id, band, band_key); band key = sorted
-    concat of the band's slice (the band_buckets convention)."""
+           n_perm: int, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, sig) → (doc_id, *keep, band, band_key); band key =
+    sorted concat of the band's slice (the band_buckets convention).
+    `keep` columns ride the explode — callers needing a flag per band
+    row pass it through here instead of joining it back on doc_id
+    (r6: that join re-shuffled the whole banded corpus AND re-ran the
+    signature subtree a second time just to recover is_store)."""
     n_bands = n_perm // rows_per_band
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -77,8 +81,8 @@ def _bands(sigs: DataFrame, rows_per_band: int,
                      F.slice(F.col("sig"), b * rows_per_band + 1,
                              rows_per_band))).alias("band_key"))
         for b in range(n_bands)])
-    return (sigs.select("doc_id", F.explode(bands).alias("bk"))
-            .select("doc_id", F.col("bk.band").alias("band"),
+    return (sigs.select("doc_id", *keep, F.explode(bands).alias("bk"))
+            .select("doc_id", *keep, F.col("bk.band").alias("band"),
                     F.col("bk.band_key").alias("band_key")))
 
 
@@ -87,7 +91,8 @@ def incremental_near_dup(new_sigs: DataFrame, store_sigs: DataFrame,
                          rows_per_band: int = 2,
                          n_perm: int = N_PERM_DEFAULT,
                          round_to: int = 6,
-                         max_bucket: int | None = None) -> DataFrame:
+                         max_bucket: int | None = None,
+                         handles: list | None = None) -> DataFrame:
     """(doc_id, dup_of, est_jaccard) for NEW docs only. A new doc is a
     dup if it shares ≥1 LSH band with a store doc or a SMALLER-id doc
     of the same batch AND the signature-agreement estimate of Jaccard
@@ -115,8 +120,16 @@ def incremental_near_dup(new_sigs: DataFrame, store_sigs: DataFrame,
                                 "doc_id", "left_anti")
                   .select("doc_id", "sig",
                           F.lit(False).alias("is_store"))))
-    ob = _bands(allsig.select("doc_id", "sig"), rows_per_band, n_perm) \
-        .join(allsig.select("doc_id", "is_store"), "doc_id")
+    # allsig feeds THREE consumers (the band explode, the verification
+    # partner-sig join, the new-side sig join) — when the inputs are
+    # derived from text (q_neardup_incremental's shape) each reference
+    # re-ran the whole sha256-per-shingle signature pass. Materialize
+    # once (lazy); loop callers pass `handles` and release after their
+    # output is materialized (the pagerank/_dedup_pass protocol).
+    allsig = allsig.localCheckpoint(eager=False)
+    if handles is not None:
+        handles.append(allsig)
+    ob = _bands(allsig, rows_per_band, n_perm, keep=("is_store",))
     if max_bucket is not None:
         sizes = (ob.groupBy("band", "band_key")
                  .agg(F.count("*").alias("_bsz")))
@@ -142,7 +155,12 @@ def incremental_near_dup(new_sigs: DataFrame, store_sigs: DataFrame,
             .select(F.col("a.doc_id").alias("doc_id"),
                     F.col("b.doc_id").alias("partner"))
             .distinct())
-    sa = new_sigs.select(F.col("doc_id"), F.col("sig").alias("sa"))
+    # sa from the checkpointed union, not new_sigs: cand's doc_ids are
+    # exactly allsig's non-store rows (replayed docs are absent from
+    # BOTH), so the inner join result is identical and the new batch's
+    # signature subtree is not evaluated a second time.
+    sa = (allsig.filter(~F.col("is_store"))
+          .select(F.col("doc_id"), F.col("sig").alias("sa")))
     sb = allsig.select(F.col("doc_id").alias("partner"),
                        F.col("sig").alias("sb"))
     est = F.round(
@@ -187,11 +205,16 @@ def dedup_ingest(spark: SparkSession, catalog: SnapshotCatalog,
         # big signature frame can be RELEASED before returning — the
         # r5 lesson: DataFrame.unpersist() is a no-op for
         # localCheckpoint storage, only checkpoints.release frees it
-        assigns = incremental_near_dup(
-            new_sigs, store, threshold=threshold,
-            rows_per_band=rows_per_band, n_perm=n_perm,
-            max_bucket=max_bucket) \
-            .localCheckpoint(eager=True)
+        inner: list = []
+        try:
+            assigns = incremental_near_dup(
+                new_sigs, store, threshold=threshold,
+                rows_per_band=rows_per_band, n_perm=n_perm,
+                max_bucket=max_bucket, handles=inner) \
+                .localCheckpoint(eager=True)
+        finally:
+            for h in inner:
+                release_checkpoint(h)
         survivors = new_sigs.join(assigns.select("doc_id"),
                                   "doc_id", "left_anti")
         # skip_empty: an all-dup batch must not commit an empty data

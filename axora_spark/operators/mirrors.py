@@ -11,7 +11,9 @@ shared by every host. This implementation instead:
   2. groups by fingerprint into a SORTED host list, CAPPED at
      max_hosts_per_fp (a fingerprint on 10k hosts is boilerplate, not
      a mirror signal — the same per-bucket-cap trade as LSH candidate
-     pairs; capped fingerprints are counted, never silently dropped);
+     pairs; over-cap fingerprints are EXCLUDED from pairing — they
+     contribute no mirror evidence and no count; ADVICE r5 corrected
+     an earlier claim that they were counted);
   3. explodes each list into its O(cap²) ordered pairs and counts per
      pair — a keyed aggregate over pair rows.
 The pair fan-out is bounded per fingerprint by the cap, so no hot key

@@ -463,6 +463,7 @@ def connected_components_star(edges: DataFrame,
     e = (edges.filter(F.col("a") != F.col("b"))
          .select(F.col("a").alias("u"), F.col("b").alias("v"))
          .distinct().localCheckpoint(eager=True))
+    e_count = e.count()
     try:
         for _ in range(max_iter):
             # large-star over the symmetrized neighborhood
@@ -482,10 +483,18 @@ def connected_components_star(edges: DataFrame,
                   .filter(F.col("n") != F.col("m"))
                   .select(F.col("n").alias("u"), F.col("m").alias("v"))
                   .distinct().localCheckpoint(eager=True))
-            same = (ss.count() == e.count()
+            # fixpoint test: one near-free count over the fresh eager
+            # checkpoint (e's count carries over from last round)
+            # short-circuits every non-converged round; the subtract
+            # job runs only when the counts agree. (r6 tried a one-job
+            # union+groupBy set-equality check here — 2× SLOWER: it
+            # pays a full shuffle-agg every round where the counts
+            # disagree for free.)
+            ss_count = ss.count()
+            same = (ss_count == e_count
                     and ss.subtract(e).limit(1).count() == 0)
             release_checkpoint(e)
-            e = ss
+            e, e_count = ss, ss_count
             if same:
                 roots = e.select(F.col("v").alias("doc_id")).distinct() \
                          .withColumn("cluster_id", F.col("doc_id"))
@@ -522,25 +531,47 @@ def sign_lsh_keys(emb: Column, bits: int, tables: int) -> Column:
     return F.array(*keys)
 
 
-def embedding_near_dup_pairs(emb: DataFrame, cosine_expr,
-                             threshold: float, bits: int = 8,
+def embedding_near_dup_pairs(emb: DataFrame, cosine_expr=None,
+                             threshold: float = 0.99, bits: int = 8,
                              tables: int = 2,
                              max_bucket: int | None = None,
                              round_to: int = 6) -> DataFrame:
     """emb(vec_id, embedding) → (vec_a, vec_b, cos_sim ≥ threshold),
-    candidates from multi-table sign-LSH buckets only."""
+    candidates from multi-table sign-LSH buckets only.
+
+    cosine_expr=None (default) uses the split dot/precomputed-norm form:
+    each row's L2 norm is computed ONCE before the self-join and rides
+    the shuffle as one extra double, so a candidate pair pays one
+    zip_with dot fold instead of three O(d) folds (dot + both norms —
+    at d=768 that was ~3× the per-pair flops, the dominant cost of the
+    bucket join; r6 guide §1.2 'per-task work'). Bit-identical to
+    embed.cosine_similarity: same left folds over the same cast-to-
+    double arrays, sqrt per side, then the identical dot/(na*nb).
+    Pass an explicit cosine_expr(a_arr, b_arr) for a custom metric."""
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     keyed = emb.select(
         "vec_id", "embedding",
         F.explode(sign_lsh_keys(F.col("embedding"), bits, tables))
         .alias("bk"))
+    if cosine_expr is None:
+        keyed = keyed.withColumn(
+            "_nrm", F.sqrt(F.aggregate(
+                F.transform(dbl(F.col("embedding")), lambda x: x * x),
+                F.lit(0.0), lambda acc, x: acc + x)))
     if max_bucket is not None:
         sizes = keyed.groupBy("bk").agg(F.count("*").alias("_bsz"))
         keyed = (keyed.join(sizes, "bk")
                  .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
-    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     a, b = keyed.alias("a"), keyed.alias("b")
-    cos = F.round(cosine_expr(dbl(F.col("a.embedding")),
-                              dbl(F.col("b.embedding"))), round_to)
+    if cosine_expr is None:
+        dot = F.aggregate(
+            F.zip_with(dbl(F.col("a.embedding")), dbl(F.col("b.embedding")),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        cos = F.round(dot / (F.col("a._nrm") * F.col("b._nrm")), round_to)
+    else:
+        cos = F.round(cosine_expr(dbl(F.col("a.embedding")),
+                                  dbl(F.col("b.embedding"))), round_to)
     return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec_a"),

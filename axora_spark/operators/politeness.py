@@ -65,7 +65,8 @@ def salted_topk(df: DataFrame, budget, salt: int) -> DataFrame:
 def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
           budget_overrides: dict[str, int] | None = None,
           budget_caps: DataFrame | None = None,
-          budget_frame: DataFrame | None = None
+          budget_frame: DataFrame | None = None,
+          cap_default: int | None = None
           ) -> tuple[DataFrame, DataFrame]:
     """Split a wave's candidate frontier into (admitted, deferred).
 
@@ -126,14 +127,22 @@ def admit(frontier: DataFrame, host_budget: int, salt: int = 8,
         # plans/crawl.py): a (host, _cap) frame computed DISTRIBUTED by
         # the caller — broadcast here because its cardinality is
         # #hosts-with-history, the same class as the robots rules table.
-        # Hosts absent from the frame are uncapped.
+        # Hosts ABSENT from the frame default to cap_default — callers
+        # deriving caps from an admitted-history table MUST pass the
+        # full quota here, because a zero-history host is absent from
+        # that table and an INT_MAX default let its first wave blow
+        # straight through domain_quota (ADVICE r5 high: 6 admitted vs
+        # the oracle's 2). cap_default=None keeps absent hosts uncapped
+        # for callers whose frame covers every capped host by design.
         frontier = (frontier.join(
             F.broadcast(budget_caps.select("host", "_cap")),
             on="host", how="left")
             .withColumn("_budget",
                         F.least(budget,
                                 F.coalesce(F.col("_cap"),
-                                           F.lit(2**31 - 1))))
+                                           F.lit(cap_default
+                                                 if cap_default is not None
+                                                 else 2**31 - 1))))
             .drop("_cap"))
         budget = F.col("_budget")
 

@@ -317,10 +317,12 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
         _save_state(catalog, state)
     else:
         # forward-compat: a warehouse created before a managed table
-        # existed must stay resumable — CREATE IF NOT EXISTS the
-        # newest tables before rollback touches them (code-review r5:
-        # resuming a pre-fetch_state warehouse with adaptive on raised)
-        catalog.create_table("fetch_state", schemas.FETCH_STATE)
+        # existed must stay resumable — CREATE IF NOT EXISTS every
+        # managed table before rollback touches them (code-review r5:
+        # resuming a pre-fetch_state warehouse with adaptive on raised;
+        # ADVICE r5: the one-table fix re-created the same failure for
+        # trap_state — init_tables is idempotent, so run it whole)
+        init_tables(catalog)
         # mid-wave crash recovery: roll every table back to the last
         # COMPLETE wave's snapshots before re-entering the loop
         _rollback_incomplete_wave(spark, catalog, state["next_wave"])
@@ -408,7 +410,8 @@ def run_crawl(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig,
         admitted, deferred = politeness.admit(
             candidates, cfg.host_budget, salt=cfg.hot_host_salt,
             budget_overrides=budget_overrides or None,
-            budget_caps=quota_caps, budget_frame=adaptive_frame)
+            budget_caps=quota_caps, budget_frame=adaptive_frame,
+            cap_default=cfg.domain_quota)
         admitted = admitted.persist()
         n_admitted = admitted.count()
 

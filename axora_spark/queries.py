@@ -888,7 +888,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from axora_spark.operators import neardup
     emb = _t(spark, sf_dir, "embeddings", spread=True)
     return neardup.embedding_near_dup_pairs(
-        emb.select("vec_id", "embedding"), cosine_similarity,
+        emb.select("vec_id", "embedding"),
         threshold=0.4, bits=_EMB_BITS, tables=_EMB_TABLES)
 
 
@@ -1871,8 +1871,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a convergence-driven variant would reuse connected_components_star's
     checkpoint-per-round protocol). Output ranks rounded to 6dp —
     double-sum association differs between engines at ~1e-15, far
-    below the rounding grain."""
-    docs = _t(spark, sf_dir, "documents", spread=True)
+    below the rounding grain.
+
+    No spread=True here (r6): the only per-row work before the first
+    shuffle is doc_id arithmetic, and the r6 checkpoint protocol runs
+    each static frame as its own job — a pre-spread exchange of the
+    corpus re-executed once per checkpoint job (+~2s at sf1.0) while
+    buying nothing (the scan is a doc_id-only column read)."""
+    docs = _t(spark, sf_dir, "documents")
     ids = docs.select("doc_id")
     n_df = ids.agg(F.count("*").alias("n"))
     nodes = ids.crossJoin(F.broadcast(n_df))  # (doc_id, n)
@@ -3755,10 +3761,12 @@ def q_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph is |hosts|²-bounded — orders of magnitude smaller than the
     doc graph — so the 5 rank iterations run on a dwarf table while the
     only corpus-scale work is the coarsening join+count. Rounded to 6dp
-    as in q_pagerank."""
+    as in q_pagerank. No spread=True (see q_pagerank — doc_id-only
+    arithmetic, and the pre-spread exchange re-ran per checkpoint
+    job)."""
     from axora_spark.operators.pagerank import (coarsen_edges,
                                                 pagerank_weighted)
-    docs = _t(spark, sf_dir, "documents", spread=True)
+    docs = _t(spark, sf_dir, "documents")
     ids = docs.select("doc_id")
     n_df = ids.agg(F.count("*").alias("n"))
     nodes = ids.crossJoin(F.broadcast(n_df))

@@ -59,9 +59,15 @@ def stream_dedup_ingest(stream: DataFrame, catalog: SnapshotCatalog,
         new_sigs = minhash_sig_array(batch_df).localCheckpoint(eager=True)
         try:
             store = catalog.read(spark, sigs_table)
-            assigns = incremental_near_dup(
-                new_sigs, store, threshold=threshold) \
-                .localCheckpoint(eager=True)
+            inner: list = []
+            try:
+                assigns = incremental_near_dup(
+                    new_sigs, store, threshold=threshold,
+                    handles=inner) \
+                    .localCheckpoint(eager=True)
+            finally:
+                for h in inner:
+                    release_checkpoint(h)
             try:
                 catalog.merge_insert_if_absent(spark, dup_table, assigns,
                                                key="doc_id")

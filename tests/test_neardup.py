@@ -60,15 +60,21 @@ def test_embedding_near_dup_cap_and_recall(spark):
     rows = [(1, v), (2, v),
             (3, [-x for x in v]), (4, [0.5] * 16)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    from axora_spark.operators.embed import cosine_similarity
     got = neardup.embedding_near_dup_pairs(
-        emb, cosine_similarity, threshold=0.99, bits=8, tables=2).collect()
+        emb, threshold=0.99, bits=8, tables=2).collect()
     assert {(r.vec_a, r.vec_b) for r in got} == {(1, 2)}
     assert abs(got[0].cos_sim - 1.0) < 1e-6
+    # the r6 split dot/precomputed-norm default must be BIT-identical
+    # to the explicit cosine_similarity form
+    from axora_spark.operators.embed import cosine_similarity
+    explicit = neardup.embedding_near_dup_pairs(
+        emb, cosine_similarity, threshold=0.99, bits=8,
+        tables=2).collect()
+    assert sorted((r.vec_a, r.vec_b, r.cos_sim) for r in got) == \
+        sorted((r.vec_a, r.vec_b, r.cos_sim) for r in explicit)
     # cap of 1 drops every bucket that could pair
     capped = neardup.embedding_near_dup_pairs(
-        emb, cosine_similarity, threshold=0.99, bits=8, tables=2,
-        max_bucket=1).collect()
+        emb, threshold=0.99, bits=8, tables=2, max_bucket=1).collect()
     assert capped == []
 
 

@@ -136,3 +136,28 @@ def test_resume_after_compact_and_expiry(spark, catalog, cfg, fixture_pages):
                     compact_every=1)
     got = sorted(r.url for r in catalog.read(spark, "seen").collect())
     assert got == sorted(want.seen)
+
+
+def test_resume_pre_existing_warehouse_missing_new_tables(
+        spark, catalog, cfg, fixture_pages):
+    # forward-compat (ADVICE r5 low): resuming a warehouse created before
+    # trap_state / fetch_state existed must not raise at the first
+    # catalog.read of a missing managed table — the resume branch runs
+    # the whole idempotent init_tables, not a per-table patch. Simulate
+    # the old warehouse by deleting both tables' metadata after a
+    # partial run, then resume with the features ON.
+    import os
+
+    corpus = spark.createDataFrame(fixture_pages, schemas.LINK_GRAPH)
+    cfg2 = datagen.fixture_config(fixture_pages, trap_detect=True,
+                                  adaptive_politeness=True)
+    want = oracle.simulate(fixture_pages, cfg2)
+    crawl.run_crawl(spark, catalog, cfg2, corpus, stop_after_wave=0)
+    for tbl in ("trap_state", "fetch_state"):
+        os.remove(catalog._meta_path(tbl))
+        assert not catalog.table_exists(tbl)
+    crawl.run_crawl(spark, catalog, cfg2, corpus, resume=True)
+    got = [(r.wave, r.host, r.rank, r.url, r.depth)
+           for r in catalog.read(spark, "admitted")
+           .orderBy("wave", "host", "rank").collect()]
+    assert got == want.admitted

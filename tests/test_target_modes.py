@@ -165,3 +165,23 @@ def test_domain_quota_engine_equals_oracle(spark, catalog, fixture_pages):
     corpus = spark.createDataFrame(fixture_pages, schemas.LINK_GRAPH)
     crawl.run_crawl(spark, catalog, cfg, corpus)
     _compare(spark, catalog, want)
+
+
+def test_domain_quota_binds_on_first_wave(spark, catalog, fixture_pages):
+    # ADVICE r5 (high): quota_caps derives from the admitted table, so a
+    # zero-history host is ABSENT from the caps frame and the engine
+    # coalesced its cap to INT_MAX — a host first seen with more
+    # candidates than the whole quota admitted them all (engine 6 vs
+    # oracle 2). The cap_default plumbing must make the quota bind from
+    # a host's very first admitting wave.
+    cfg = datagen.fixture_config(fixture_pages, domain_quota=2)
+    want = oracle.simulate(fixture_pages, cfg)
+    per_host: dict[str, int] = {}
+    for _, h, _, _, _ in want.admitted:
+        per_host[h] = per_host.get(h, 0) + 1
+    # the quota must bind below any host's wave-0 candidate count
+    assert max(per_host.values()) <= 2
+
+    corpus = spark.createDataFrame(fixture_pages, schemas.LINK_GRAPH)
+    crawl.run_crawl(spark, catalog, cfg, corpus)
+    _compare(spark, catalog, want)
