@@ -3689,7 +3689,16 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one parse per page (outer explode defeats the size>0
     re-evaluation trap), then two keyed aggregates + a WindowGroupLimit
-    top-k all hashed by target (see operators/anchors.py)."""
+    top-k all hashed by target (see operators/anchors.py). The link
+    rows are materialized ONCE at the UDF boundary (lazy
+    localCheckpoint): the profile and phrase aggregates shuffle on
+    different keys, so without it each branch re-ran the whole
+    parse + absolutize pipeline (r6 measured: the 'one parse per page'
+    claim was false in the executed plan — 2× ArrowEvalPython, 5.0s vs
+    1.5s for the rows themselves at sf1.0). A repartition-by-target
+    shared exchange was rejected: it would funnel a mega-target's rows
+    into one partition BEFORE the partial aggregation, the exact skew
+    the operator's two-phase design avoids."""
     from axora_spark.operators.anchors import aggregate_anchor_text
     from axora_spark.operators.urls import absolutize_udf, host_col
     docs = _t(spark, sf_dir, "documents", spread=True)
@@ -3706,7 +3715,8 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     absolutize_udf(F.col("page_url"),
                                    F.col("l.href")).alias("target"),
                     F.col("l.text").alias("text")))
-    rows = rows.withColumn("src_host", host_col(F.col("page_url")))
+    rows = (rows.withColumn("src_host", host_col(F.col("page_url")))
+            .localCheckpoint(eager=False))
     return aggregate_anchor_text(rows, top_k=8)
 
 

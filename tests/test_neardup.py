@@ -309,6 +309,12 @@ def test_star_cc_vs_union_find_and_minlabel(spark):
     star = {r.doc_id: r.cluster_id
             for r in neardup.connected_components_star(edf).collect()}
     assert star == _uf_components(n, edges)
+    # the distributed alternation path (local_finish=0 disables the r6
+    # driver-local finish) must produce the identical labeling
+    dist = {r.doc_id: r.cluster_id
+            for r in neardup.connected_components_star(
+                edf, local_finish=0).collect()}
+    assert dist == star
     minlabel = {r.doc_id: r.cluster_id
                 for r in neardup.connected_components(edf).collect()}
     assert star == minlabel
@@ -326,13 +332,15 @@ def test_star_cc_long_chain_log_rounds(spark):
     bound = 2 * int(math.log2(n))
     got = {r.doc_id: r.cluster_id
            for r in neardup.connected_components_star(
-               edf, max_iter=bound).collect()}
+               edf, max_iter=bound, local_finish=0).collect()}
     assert got == {i: 0 for i in range(n)}
 
 
 def test_star_cc_self_loops_and_empty(spark):
     edf = spark.createDataFrame([(3, 3), (4, 4)], "a long, b long")
     assert neardup.connected_components_star(edf).collect() == []
+    assert neardup.connected_components_star(
+        edf, local_finish=0).collect() == []
 
 
 def test_bucket_star_edges_shape(spark):
