@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from axora_spark.functions.words import words_col
-from axora_spark.operators.decontam import ngrams_of_words
+from axora_spark.operators.decontam import ngram_keys_of_words
 
 
 def duplicate_passages(docs: DataFrame, n: int = 8,
@@ -52,15 +52,19 @@ def duplicate_passages(docs: DataFrame, n: int = 8,
     aggregate; higher thresholds pay count_distinct (still two-phase)."""
     words = (docs.select("doc_id", words_col(F.col("text")).alias("w"))
              .filter(F.size("w") >= n))
+    # gram keys WITHOUT ever building n-gram strings (r6 —
+    # decontam.ngram_keys_of_words: word-hash fold, measured
+    # 1.50 → 1.19 s per gram pass at sf1.0; key_i covers words
+    # [i, i+n), the same positional contract the string form had).
     # posexplode_OUTER + post-filter (the decontam/q_html_links trap:
     # plain explode would infer a size()>0 pre-filter that re-evaluates
-    # the whole n-gram fold as a predicate)
+    # the whole key fold as a predicate)
     grams = (words
-             .select("doc_id", ngrams_of_words(F.col("w"), n).alias("g"))
              .select("doc_id",
-                     F.posexplode_outer("g").alias("pos", "gram"))
-             .filter(F.col("gram").isNotNull())
-             .select("doc_id", "pos", F.xxhash64("gram").alias("gk")))
+                     ngram_keys_of_words(F.col("w"), n).alias("g"))
+             .select("doc_id",
+                     F.posexplode_outer("g").alias("pos", "gk"))
+             .filter(F.col("gk").isNotNull()))
     if min_docs <= 2:
         dup_keys = (grams.groupBy("gk")
                     .agg(F.min("doc_id").alias("_mn"),
