@@ -495,3 +495,27 @@ def test_hostrank_plan_scans_constant_in_iters(spark):
         assert plan.count("Scan parquet") == 0, plan
         plans[iters] = len(plan.splitlines())
     assert plans[8] == plans[2], plans
+
+
+def test_anchor_text_single_parse_boundary(spark):
+    # r6: the profile and phrase aggregates shuffle on different keys,
+    # so without the UDF-boundary materialization each branch re-ran
+    # the whole DOM-parse + absolutize pipeline (2x ArrowEvalPython in
+    # the executed plan). The final plan must read the checkpointed
+    # link rows (ExistingRDD) and contain NO Python evaluation — the
+    # one parse lives in the checkpoint job.
+    from axora_spark.queries import q_anchor_text
+    plan = _physical(q_anchor_text(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_neardup_incremental_single_signature_pass(spark):
+    # r6: the store|new signature union feeds three consumers; the
+    # final plan must read it as a checkpoint (zero parquet scans —
+    # one sha256-per-shingle pass total) and never rejoin the banded
+    # corpus on doc_id just to recover is_store.
+    from axora_spark.queries import q_neardup_incremental
+    plan = _physical(q_neardup_incremental(spark, SF))
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
